@@ -1,0 +1,171 @@
+"""Checker modules (SURVEY.md §2.7 C1–C7) — pure row logic + Spark builders.
+
+The reference runs checker modules with a begin()/process()/end() lifecycle
+per fetched page (SURVEY.md §3.1). Here each checker is (a) a pure Python
+function over parsed-page fields — used by the golden single-threaded
+reference crawler in golden.py and inside vectorized batches — and (b) a
+DataFrame builder over the engine's `parsed` table — used by the crawl loop
+and by the driver-checked queries. Tests assert (a) and (b) agree exactly.
+
+Checkers:
+  C1 broken links   — crawl.py (anti-join of elected frontier vs pages)
+  C2 regex          — email/pattern extraction over extracted text
+  C3 comments       — sensitive HTML comments
+  C4 spelling       — tokens anti-joined against a broadcast dictionary
+  C5 metadata       — missing/overlong title & meta description
+  C7 readability    — Flesch-style score from word/sentence/syllable counts
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = re.compile(r"[a-z]+")
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+SENTENCE_RE = re.compile(r"[.!?]")
+VOWEL_GROUP_RE = re.compile(r"[aeiouy]+")
+
+SENSITIVE_COMMENT_RE = re.compile(r"password|secret|api_key|TODO", re.IGNORECASE)
+
+# Same regexes as SQL-side strings (Java regex dialect compatible).
+TOKEN_SQL = "[a-z]+"
+EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SENSITIVE_SQL = "(?i)password|secret|api_key|TODO"
+
+META_DESC_MAX = 160
+TITLE_MAX = 70
+
+
+# ---------------------------------------------------------------------------
+# Pure row logic (golden oracle + property tests)
+# ---------------------------------------------------------------------------
+
+def tokenize(text: str) -> list[str]:
+    return TOKEN_RE.findall(text.lower())
+
+
+def find_misspellings(text: str, dictionary: set[str]) -> list[str]:
+    return sorted({t for t in tokenize(text) if len(t) >= 3 and t not in dictionary})
+
+
+def find_emails(text: str) -> list[str]:
+    return EMAIL_RE.findall(text)
+
+
+def find_sensitive_comments(comments: list[str]) -> list[str]:
+    return [c for c in comments if SENSITIVE_COMMENT_RE.search(c)]
+
+
+def meta_issues(title: str | None, meta_description: str | None) -> list[str]:
+    issues = []
+    if not title:
+        issues.append("missing_title")
+    elif len(title) > TITLE_MAX:
+        issues.append("title_too_long")
+    if meta_description is None:
+        issues.append("missing_meta_description")
+    elif len(meta_description) > META_DESC_MAX:
+        issues.append("meta_description_too_long")
+    return issues
+
+
+def readability(text: str) -> float | None:
+    """Flesch reading ease with vowel-group syllable approximation."""
+    words = tokenize(text)
+    if not words:
+        return None
+    n_words = len(words)
+    n_sentences = max(1, len(SENTENCE_RE.findall(text)))
+    n_syllables = sum(max(1, len(VOWEL_GROUP_RE.findall(w))) for w in words)
+    return 206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame builders over the engine's `parsed` table
+# (url, wave, extracted_text, title, meta_description, comments, ...)
+# ---------------------------------------------------------------------------
+
+def check_spelling(parsed: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """C4: (url, wave, word) for each distinct unknown token per page.
+
+    Dictionary is broadcast — it is small by construction (SURVEY.md §2.3 J3).
+    """
+    tokens = (
+        parsed.select(
+            "url",
+            "wave",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(F.lower("extracted_text"), F.lit(TOKEN_SQL), F.lit(0))
+                )
+            ).alias("word"),
+        )
+        .filter(F.length("word") >= 3)
+    )
+    return tokens.join(F.broadcast(dictionary), "word", "left_anti").select(
+        "url", "wave", "word"
+    )
+
+
+def check_regex(parsed: DataFrame, pattern_sql: str = EMAIL_SQL, name: str = "email") -> DataFrame:
+    """C2: one row per match of a configured pattern per page."""
+    return parsed.select(
+        "url",
+        "wave",
+        F.lit(name).alias("pattern_name"),
+        F.explode(
+            F.regexp_extract_all("extracted_text", F.lit(pattern_sql), F.lit(0))
+        ).alias("match"),
+    )
+
+
+def check_comments(parsed: DataFrame) -> DataFrame:
+    """C3: sensitive HTML comments."""
+    return parsed.select(
+        "url",
+        "wave",
+        F.explode("comments").alias("comment"),
+    ).filter(F.col("comment").rlike(SENSITIVE_SQL))
+
+
+def check_metadata(parsed: DataFrame) -> DataFrame:
+    """C5: title/meta-description presence and length issues."""
+    issues = F.array_compact(
+        F.array(
+            F.when(F.col("title").isNull() | (F.col("title") == ""), "missing_title")
+            .when(F.length("title") > TITLE_MAX, "title_too_long"),
+            F.when(F.col("meta_description").isNull(), "missing_meta_description")
+            .when(F.length("meta_description") > META_DESC_MAX, "meta_description_too_long"),
+        )
+    )
+    return (
+        parsed.select("url", "wave", F.explode(issues).alias("issue"))
+    )
+
+
+def check_readability(parsed: DataFrame) -> DataFrame:
+    """C7: Flesch score from built-in column expressions (no Python)."""
+    words = F.regexp_extract_all(F.lower("extracted_text"), F.lit(TOKEN_SQL), F.lit(0))
+    n_words = F.size(words)
+    n_sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("extracted_text", F.lit("[.!?]"), F.lit(0)))
+    )
+    syllable_counts = F.transform(
+        words,
+        lambda w: F.greatest(F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0)))),
+    )
+    n_syllables = F.aggregate(syllable_counts, F.lit(0), lambda a, b: a + b)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sentences.cast("double"))
+        - F.lit(84.6) * (n_syllables.cast("double") / n_words.cast("double"))
+    )
+    return parsed.select(
+        "url",
+        "wave",
+        F.when(n_words > 0, score).alias("flesch_score"),
+        n_words.alias("n_words"),
+    )

@@ -1,0 +1,202 @@
+"""HTML parsing: text extraction, link extraction, comments, metadata.
+
+This is the C6 operator of SURVEY.md §2.7 — the single vectorized parse pass
+each crawl wave runs over fetched pages. `extract_text` is the
+parity-critical function (per-row invariant: byte-identical extracted text
+per url, BASELINE.json input_hint); the reference snapshot was empty at
+build time (SURVEY.md §0) so the engine *defines* the extraction contract
+below, quarantined in one function for later swap:
+
+    extract_text contract: all character data outside <script>/<style>/
+    <template>/<noscript>, entity-decoded, whitespace-normalized to single
+    spaces, stripped. Deterministic, stdlib-only.
+
+Everything runs batch-vectorized through mapInPandas (Arrow batches) — no
+per-row Python UDFs anywhere (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from sitecheck_spark.functions.urls import resolve_link
+
+_SKIP_CONTENT = frozenset(("script", "style", "template", "noscript"))
+# Tags whose URL-bearing attributes the spider follows / validates.
+_LINK_ATTRS = {
+    "a": ("href",),
+    "area": ("href",),
+    "link": ("href",),
+    "img": ("src",),
+    "script": ("src",),
+    "iframe": ("src",),
+    "frame": ("src",),
+    "embed": ("src",),
+    "source": ("src",),
+    "form": ("action",),
+}
+_WS = re.compile(r"\s+")
+
+
+class _PageParser(HTMLParser):
+    """One-pass extractor: text, links, comments, title, meta description."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.text_chunks: list[str] = []
+        self.links: list[str] = []
+        self.comments: list[str] = []
+        self.title_parts: list[str] = []
+        self.meta_description: str | None = None
+        self._skip_depth = 0
+        self._in_title = False
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in _SKIP_CONTENT:
+            self._skip_depth += 1
+        if tag == "title":
+            self._in_title = True
+        for attr_name in _LINK_ATTRS.get(tag, ()):
+            for name, value in attrs:
+                if name == attr_name and value:
+                    self.links.append(value)
+        if tag == "meta":
+            d = dict(attrs)
+            if (d.get("name") or "").lower() == "description":
+                self.meta_description = d.get("content") or ""
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_CONTENT and self._skip_depth > 0:
+            self._skip_depth -= 1
+        if tag == "title":
+            self._in_title = False
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag in _SKIP_CONTENT and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and data:
+            self.text_chunks.append(data)
+        if self._in_title and data:
+            self.title_parts.append(data)
+
+    def handle_comment(self, data: str) -> None:
+        self.comments.append(data)
+
+
+def _decode(html: bytes | str | None) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return html
+
+
+def parse_page(html: bytes | str | None) -> dict:
+    """Full single-pass parse. Returns raw (unresolved) links."""
+    parser = _PageParser()
+    try:
+        parser.feed(_decode(html))
+        parser.close()
+    except Exception:
+        pass  # malformed HTML: keep whatever was extracted before the error
+    text = _WS.sub(" ", " ".join(parser.text_chunks)).strip()
+    title = _WS.sub(" ", " ".join(parser.title_parts)).strip()
+    return {
+        "text": text,
+        "links": parser.links,
+        "comments": parser.comments,
+        "title": title,
+        "meta_description": parser.meta_description,
+    }
+
+
+def extract_text(html: bytes | str | None) -> str:
+    """PARITY-CRITICAL (BASELINE.json:15). See module docstring for contract."""
+    return parse_page(html)["text"]
+
+
+def extract_links(url: str, html: bytes | str | None) -> list[str]:
+    """Canonical absolute outlinks of a page, document order, duplicates kept."""
+    out = []
+    for href in parse_page(html)["links"]:
+        resolved = resolve_link(url, href)
+        if resolved:
+            out.append(resolved)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Spark entry point (mapInPandas) — SURVEY.md §2.10 entry point 1.
+# ---------------------------------------------------------------------------
+
+PARSED_COLUMNS = [
+    "url",
+    "netloc",
+    "wave",
+    "depth",
+    "priority",
+    "referrer",
+    "outlinks",
+    "extracted_text",
+    "title",
+    "meta_description",
+    "comments",
+    "n_links",
+    "content_len",
+]
+
+PARSED_SCHEMA = (
+    "url string, netloc string, wave int, depth int, priority double, "
+    "referrer string, outlinks array<string>, extracted_text string, "
+    "title string, meta_description string, comments array<string>, "
+    "n_links int, content_len long"
+)
+
+
+def parse_pages_batch(
+    batches: Iterable[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas function:
+    (url, netloc, wave, depth, priority, referrer, html) -> PARSED_SCHEMA.
+
+    One Arrow batch in, one out; all Python work is per-batch, not per-task-row
+    round trips. This is the only place `html:binary` is ever materialized
+    (column-pruning lever, SURVEY.md §4).
+    """
+    for pdf in batches:
+        rows = []
+        for url, netloc, wave, depth, priority, referrer, html in zip(
+            pdf["url"], pdf["netloc"], pdf["wave"], pdf["depth"],
+            pdf["priority"], pdf["referrer"], pdf["html"]
+        ):
+            parsed = parse_page(html)
+            outlinks = []
+            for href in parsed["links"]:
+                resolved = resolve_link(url, href)
+                if resolved:
+                    outlinks.append(resolved)
+            rows.append(
+                (
+                    url,
+                    netloc,
+                    wave,
+                    depth,
+                    priority,
+                    referrer,
+                    outlinks,
+                    parsed["text"],
+                    parsed["title"],
+                    parsed["meta_description"],
+                    parsed["comments"],
+                    len(outlinks),
+                    len(html) if html is not None else 0,
+                )
+            )
+        yield pd.DataFrame(rows, columns=PARSED_COLUMNS)

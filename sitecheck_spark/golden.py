@@ -1,0 +1,186 @@
+"""Golden single-threaded reference crawler — the semantics oracle.
+
+The reference (`arkershaw/sitecheck`) is a single-process BFS spider with a
+url-seen set, per-host politeness and checker modules (SURVEY.md §1.1/§3.1).
+Its snapshot was empty at build time (SURVEY.md §0), so this module encodes
+the engine's CRAWL CONTRACT as a tiny sequential implementation; the Spark
+engine (crawl.py) must produce the identical crawl ordering, final URL-seen
+set, fetch log and findings — asserted by tests/test_crawl_golden.py. When a
+real reference snapshot lands, this file is what gets re-derived from it.
+
+CRAWL CONTRACT v1
+-----------------
+state: frontier rows (url, netloc, depth, priority, referrer); seen = set of
+canonical urls ever enqueued OR robots-blocked.
+
+wave 0: canonical seeds, depth 0, priority 0.0, referrer ''. Robots-blocked
+seeds are logged and dropped (and marked seen).
+
+each wave k while frontier non-empty and k < max_waves:
+ 1. budget per netloc: B, or max(1, floor(B / crawl_delay)) if robots set one.
+ 2. elect per netloc the first `budget` rows ordered by (priority, url);
+    the remainder carries to wave k+1 unchanged. crawl order within a wave
+    is (priority, url); across waves it is wave-major.
+ 3. "fetch" each elected url against the LATEST corpus version (max warc_ts):
+    present -> status 200, parse; absent -> status 404 + broken_link finding.
+ 4. checker modules run per fetched page (checkers.py pure functions).
+ 5. candidates = outlinks of fetched pages, already canonicalized, filtered:
+    ignored extensions out; netloc must be in allowed_netlocs (seed netlocs
+    by default); depth+1 <= max_depth.
+ 6. dedupe candidates by url keeping (min depth, then min referrer);
+    candidate priority = float(min depth).
+ 7. drop candidates already in seen; robots-gate the rest: blocked ->
+    robots_blocked finding + marked seen; allowed -> marked seen, join
+    frontier for wave k+1.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from sitecheck_spark import robots as robots_mod
+from sitecheck_spark.checkers import (
+    find_emails,
+    find_misspellings,
+    find_sensitive_comments,
+    meta_issues,
+)
+from sitecheck_spark.extract import parse_page
+from sitecheck_spark.functions.urls import canonicalize, netloc_of, resolve_link
+
+IGNORED_EXTENSIONS = (
+    ".png", ".jpg", ".jpeg", ".gif", ".css", ".js", ".ico", ".pdf", ".zip", ".svg",
+)
+
+
+@dataclass
+class GoldenResult:
+    fetch_log: list[dict] = field(default_factory=list)   # crawl order = list order
+    findings: list[dict] = field(default_factory=list)
+    seen: set[str] = field(default_factory=set)
+    waves: int = 0
+
+
+def _ext_ignored(url: str) -> bool:
+    path = url.split("?", 1)[0]
+    return path.lower().endswith(IGNORED_EXTENSIONS)
+
+
+def golden_crawl(
+    pages_rows: list[tuple],
+    seeds: list[str],
+    robots_by_netloc: dict[str, str],
+    dictionary: set[str],
+    budget_per_host: int = 10,
+    max_waves: int = 50,
+    max_depth: int = 10,
+    allowed_netlocs: set[str] | None = None,
+) -> GoldenResult:
+    """pages_rows: (url, warc_ts, html, text, lang) tuples (any order)."""
+    latest: dict[str, bytes] = {}
+    latest_ts: dict[str, object] = {}
+    for url, warc_ts, html, _text, _lang in pages_rows:
+        if url not in latest_ts or warc_ts > latest_ts[url]:
+            latest_ts[url] = warc_ts
+            latest[url] = html
+
+    res = GoldenResult()
+    if allowed_netlocs is None:
+        allowed_netlocs = {netloc_of(canonicalize(s)) for s in seeds}
+
+    delays = {nl: robots_mod.crawl_delay(r) for nl, r in robots_by_netloc.items()}
+
+    frontier: list[dict] = []
+    for s in sorted({canonicalize(s) for s in seeds}):
+        if not s:
+            continue
+        nl = netloc_of(s)
+        res.seen.add(s)
+        if not robots_mod.allowed(robots_by_netloc.get(nl), s):
+            res.findings.append({"module": "robots", "url": s, "wave": 0,
+                                 "detail": "robots_blocked", "referrer": ""})
+            continue
+        frontier.append({"url": s, "netloc": nl, "depth": 0, "priority": 0.0,
+                         "referrer": ""})
+
+    wave = 0
+    while frontier and wave < max_waves:
+        budgets: dict[str, int] = {}
+        elected, remainder = [], []
+        for row in sorted(frontier, key=lambda r: (r["priority"], r["url"])):
+            nl = row["netloc"]
+            if nl not in budgets:
+                d = delays.get(nl)
+                budgets[nl] = max(1, math.floor(budget_per_host / d)) if d else budget_per_host
+            if budgets[nl] > 0:
+                budgets[nl] -= 1
+                elected.append(row)
+            else:
+                remainder.append(row)
+
+        candidates: dict[str, dict] = {}
+        for row in elected:
+            url = row["url"]
+            html = latest.get(url)
+            if html is None:
+                res.fetch_log.append({**row, "wave": wave, "status": 404,
+                                      "content_len": 0, "n_links": 0})
+                res.findings.append({"module": "broken_link", "url": url,
+                                     "wave": wave, "detail": "404",
+                                     "referrer": row["referrer"]})
+                continue
+            parsed = parse_page(html)
+            outlinks = []
+            for href in parsed["links"]:
+                r = resolve_link(url, href)
+                if r:
+                    outlinks.append(r)
+            res.fetch_log.append({**row, "wave": wave, "status": 200,
+                                  "content_len": len(html), "n_links": len(outlinks)})
+
+            for w in find_misspellings(parsed["text"], dictionary):
+                res.findings.append({"module": "spelling", "url": url,
+                                     "wave": wave, "detail": w, "referrer": ""})
+            for m in find_emails(parsed["text"]):
+                res.findings.append({"module": "regex", "url": url,
+                                     "wave": wave, "detail": m, "referrer": ""})
+            for c in find_sensitive_comments(parsed["comments"]):
+                res.findings.append({"module": "comments", "url": url,
+                                     "wave": wave, "detail": c, "referrer": ""})
+            for issue in meta_issues(parsed["title"], parsed["meta_description"]):
+                res.findings.append({"module": "metadata", "url": url,
+                                     "wave": wave, "detail": issue, "referrer": ""})
+
+            depth = row["depth"] + 1
+            if depth > max_depth:
+                continue
+            for out in outlinks:
+                if _ext_ignored(out):
+                    continue
+                if netloc_of(out) not in allowed_netlocs:
+                    continue
+                prev = candidates.get(out)
+                if prev is None or (depth, url) < (prev["depth"], prev["referrer"]):
+                    candidates[out] = {"url": out, "netloc": netloc_of(out),
+                                       "depth": depth, "priority": float(depth),
+                                       "referrer": url}
+
+        new_rows = []
+        for url in sorted(candidates):
+            if url in res.seen:
+                continue
+            cand = candidates[url]
+            res.seen.add(url)
+            if not robots_mod.allowed(robots_by_netloc.get(cand["netloc"]), url):
+                res.findings.append({"module": "robots", "url": url,
+                                     "wave": wave, "detail": "robots_blocked",
+                                     "referrer": cand["referrer"]})
+                continue
+            new_rows.append(cand)
+
+        frontier = remainder + new_rows
+        wave += 1
+
+    res.waves = wave
+    return res

@@ -1,0 +1,47 @@
+"""HTML parse pass tests (C6) — text, links, comments, title, meta."""
+
+from sitecheck_spark.extract import extract_links, extract_text, parse_page
+
+
+def test_text_skips_script_style_and_normalizes_whitespace():
+    html = """<html><body><p>Hello   \n  world</p>
+    <script>var x = 'nope';</script><style>.a{}</style>
+    <noscript>hidden</noscript><p>again</p></body></html>"""
+    assert extract_text(html) == "Hello world again"
+
+
+def test_text_decodes_entities_and_bytes():
+    html = b"<p>caf&eacute; &amp; tea &mdash; now</p>"
+    assert extract_text(html) == "café & tea — now"
+
+
+def test_text_none_and_malformed():
+    assert extract_text(None) == ""
+    assert extract_text("<p><b>unclosed") == "unclosed"
+
+
+def test_parse_page_fields():
+    html = """<html><head><title>My  Title</title>
+    <meta name="description" content="the description"></head>
+    <body><!-- note 1 --><a href="/a.html">a</a><a href="b.html">b</a>
+    <img src="/i.png"><script src="/app.js"></script>
+    <a href="mailto:x@y.z">m</a><!-- password: hunter2 --></body></html>"""
+    p = parse_page(html)
+    assert p["title"] == "My Title"
+    assert p["meta_description"] == "the description"
+    assert p["links"] == ["/a.html", "b.html", "/i.png", "/app.js", "mailto:x@y.z"]
+    assert p["comments"] == [" note 1 ", " password: hunter2 "]
+
+
+def test_extract_links_resolution_and_filtering():
+    base = "https://h.example.com/d/page.html"
+    html = '<a href="x.html"></a><a href="#s"></a><a href="mailto:a@b.c"></a><a href="../up.html"></a>'
+    assert extract_links(base, html) == [
+        "https://h.example.com/d/x.html",
+        "https://h.example.com/up.html",
+    ]
+
+
+def test_determinism():
+    html = "<p>abc</p>" * 100
+    assert extract_text(html) == extract_text(html)
