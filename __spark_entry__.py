@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()       — flagship: run the crawl engine end-to-end on a deterministic
+                60-page synthetic corpus and return the fetch log (the
+                engine's core artifact: crawl order + statuses).
+queries()     — one entry per implemented operator (SURVEY.md §2 +
+                training-pipeline dedup/similarity/text-analysis ops),
+                each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB twins with identical column names/types for every
+                SQL-expressible query; engine-hash/iterative/stateful ops
+                are rows-only by design (see sitecheck_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BFS crawl (politeness + robots + bloom seen-set + checkers)
+    over a deterministic synthetic page corpus; returns the fetch log."""
+    from sitecheck_spark.crawl import CrawlConfig, crawl
+    from sitecheck_spark.sources.corpus import (
+        generate_pages_spark,
+        make_dictionary_pdf,
+        make_seeds_pdf,
+    )
+
+    pages = generate_pages_spark(spark, 60, seed=42)
+    dictionary = spark.createDataFrame(make_dictionary_pdf())
+    cfg = CrawlConfig(budget_per_host=4, max_waves=4, n_shards=4, salt_buckets=2)
+    res = crawl(spark, pages, make_seeds_pdf().url.tolist(), cfg, dictionary=dictionary)
+    return res.fetch_log.orderBy("wave", "priority", "url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sitecheck_spark.queries import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sitecheck_spark.queries import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,0 +1,153 @@
+"""Deduplication operators for training-data pipelines (driver-checked).
+
+Exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection, all as
+DataFrame programs. Scale notes:
+
+- exact: one hash-groupBy on md5(text) — partial aggregation, single shuffle.
+- token-set Jaccard: explode distinct tokens -> self-join on token ->
+  count-based intersection/union. Frequent tokens explode the join; the
+  `max_token_freq` guard drops tokens appearing in more than K docs
+  (standard stop-token pruning) when set.
+- MinHash+LSH: signatures via min(md5(seed || token)) per seed — md5 is
+  engine-portable, so the DuckDB oracle computes the identical signature.
+  Banding pairs only collide within a band bucket: the cross-join is
+  confined to buckets (the LSH point), never all-pairs.
+- SimHash: 64-bit xxhash64 per token, per-bit majority vote via
+  bit_get/sum, near-dups = band-bucket candidates filtered by hamming
+  distance (bit_count(xor)). xxhash64 has no DuckDB twin -> rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sitecheck_spark.functions.textstats import words_col
+
+N_MINHASH = 8
+LSH_BAND_SIZE = 2  # 4 bands of 2 signatures
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(fingerprint, doc_id kept, n_copies) — keep min doc_id per text group."""
+    return (
+        docs.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(words_col("text"))).alias("token")
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                  max_token_freq: int | None = None) -> DataFrame:
+    """Token-set Jaccard similarity pairs (doc_a < doc_b, jac >= threshold)."""
+    toks = doc_tokens(docs)
+    if max_token_freq is not None:
+        keep = toks.groupBy("token").count().filter(F.col("count") <= max_token_freq)
+        toks = toks.join(keep.select("token"), "token")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, seed, sig) with sig = min(md5(seed || ':' || token))."""
+    toks = doc_tokens(docs)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    return (
+        toks.select("doc_id", "token", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("token")))).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
+                      band_size: int = LSH_BAND_SIZE) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any full LSH band bucket."""
+    sigs = minhash_signatures(docs, n_hashes)
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list(
+            F.concat_ws("=", F.col("seed"), F.col("sig"))))).alias("bucket"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, n_bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over xxhash64(token).
+
+    Pure built-ins: explode tokens -> bit_get -> conditional sum -> bitwise
+    re-assembly. No DuckDB-portable twin (xxhash64) -> rows-only check.
+    """
+    toks = doc_tokens(docs).withColumn("h", F.xxhash64("token"))
+    bits = toks.select(
+        "doc_id", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.bit_get("h", F.col("bit")) == 1, 1).otherwise(-1)
+        ).alias("vote")
+    )
+    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, bit_value).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup candidates: same 16-bit simhash band, hamming <= max_hamming."""
+    sh = simhash(docs)
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(i),
+                        F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)))
+            for i in range(4)
+        ])).alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: JVM-side zip_with/aggregate dot products; the
+  scale baseline (one broadcast of the query set, no shuffle of the corpus).
+- LSH-bucketed ANN: deterministic random-hyperplane signatures restrict the
+  candidate set to same-bucket vectors (multi-probe via sign flips would be
+  the recall knob at scale). Hyperplanes derive from sin(seed) so they are
+  reproducible with zero data movement; last-ulp sign flips near zero make
+  this rows-only checked vs DuckDB.
+- embedding-cosine near-dup pairs for dedup (threshold variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 3
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (vec_id, embedding) — expected small => broadcast; the corpus
+    is scanned once with no shuffle until the per-query top-k aggregation.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = embeddings.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _hyperplane(dim: int, plane: int):
+    """Deterministic pseudo-random hyperplane: sin(1 + plane*dim + i)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.sin(F.lit(1.0) + F.lit(float(plane)) * F.lit(float(dim)) + i.cast("double")),
+    )
+
+
+def lsh_bucket(embeddings: DataFrame, n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign-bit signature)."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bit = F.when(_dot(F.col("embedding"), _hyperplane(dim, p)) >= 0, 1).otherwise(0)
+        sig = sig + bit.cast("long") * F.lit(1 << p).cast("long")
+    return embeddings.withColumn("bucket", sig)
+
+
+def lsh_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 3,
+    n_planes: int = 8, dim: int = 64,
+) -> DataFrame:
+    """ANN top-k restricted to same-LSH-bucket candidates.
+
+    At scale: corpus bucketed once (write-time partition column), query
+    join prunes to matching buckets — a partition-pruned scan instead of a
+    full sweep. Recall < 1 by construction; the brute-force operator is the
+    exactness baseline.
+    """
+    corpus = lsh_bucket(embeddings, n_planes, dim)
+    q = lsh_bucket(queries, n_planes, dim).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    joined = corpus.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join."""
+    corpus = lsh_bucket(embeddings)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

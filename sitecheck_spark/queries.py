@@ -1,0 +1,875 @@
+"""Driver-contract query registry (SURVEY.md §2 "Driver check" column).
+
+Every implemented operator gets a `queries()` entry — a (spark, sf_dir) ->
+DataFrame callable — and, where ANSI-SQL-expressible, a DuckDB oracle twin
+with IDENTICAL column names and compatible types. Patterns that keep the
+value-hash comparison exact across engines:
+
+- money sums go through decimal(18,2) then cast to double (order-independent
+  exact arithmetic in both engines)
+- md5 (not xxhash64) wherever the oracle must reproduce a hash
+- single divisions of exact integer counts are IEEE-identical; avoid
+  accumulated float sums in checked outputs
+- DuckDB count(*)/row_number/sum(bigint) are cast to BIGINT/INT/BIGINT to
+  match Spark's types
+
+Non-SQL-expressible ops (xxhash64 identities, LSH over engine-specific
+hashes, the crawl engine itself, approx sketches) register without an
+oracle -> the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sitecheck_spark.functions import textstats
+from sitecheck_spark.operators import dedup, similarity
+
+QUERIES: dict[str, dict] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = {"fn": fn, "sql": sql}
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / §2.2 projections & predicates
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_scan_pages",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY source""",
+)
+def q_scan_pages(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "q_filter_ext",
+    """SELECT doc_id, source, lang FROM documents
+       WHERE regexp_matches(source, '^src[13]$') AND lang = 'en'""",
+)
+def q_filter_ext(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source").rlike("^src[13]$") & (F.col("lang") == "en"))
+        .select("doc_id", "source", "lang")
+    )
+
+
+@query(
+    "q_parse_host",
+    """SELECT doc_id, source || '.example.com' AS netloc FROM documents""",
+)
+def q_parse_host(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                   F.col("doc_id"))
+    return docs.select("doc_id", F.parse_url(url, F.lit("HOST")).alias("netloc"))
+
+
+@query("q_hash_urls")  # xxhash64 has no DuckDB twin -> rows-only
+def q_hash_urls(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                   F.col("doc_id"))
+    return docs.select(
+        "doc_id", F.xxhash64(url).alias("url_hash"),
+        F.pmod(F.xxhash64(url), F.lit(32)).cast("int").alias("shard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_join_orders_customer",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def q_join_orders_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+)
+def q_anti_join(spark, sf_dir):
+    """J2: the seen-set anti-join shape (candidates minus seen)."""
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def q_semi_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_broadcast_nation",
+    """SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+              min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+)
+def q_broadcast_nation(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / sorts / limits (politeness W1, as-of W3, cap W4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders) WHERE rk <= 3""",
+)
+def q_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query(
+    "q_politeness_budget",
+    """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+         SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) AS rk
+         FROM documents) WHERE rk <= 5""",
+)
+def q_politeness_budget(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "rk")
+    )
+
+
+@query(
+    "q_latest_event_per_user",
+    """SELECT user_id, event_id, ts, event_type FROM (
+         SELECT user_id, event_id, ts, event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rk
+         FROM events) WHERE rk = 1""",
+)
+def q_latest_event_per_user(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@query(
+    "q_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q_limit(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_union_distinct",
+    """SELECT DISTINCT id FROM (
+         SELECT o_custkey AS id FROM orders
+         UNION ALL SELECT user_id AS id FROM events)""",
+)
+def q_union_distinct(spark, sf_dir):
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    b = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return a.union(b).distinct()
+
+
+@query(
+    "q_except",
+    """SELECT c_custkey AS id FROM customer
+       EXCEPT SELECT o_custkey AS id FROM orders WHERE o_totalprice > 400000""",
+)
+def q_except(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    b = (_t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+         .select(F.col("o_custkey").alias("id")))
+    return a.exceptAll(b).distinct()
+
+
+@query(
+    "q_intersect",
+    """SELECT c_custkey AS id FROM customer
+       INTERSECT SELECT user_id AS id FROM events""",
+)
+def q_intersect(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    b = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_status_counts",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY event_type""",
+)
+def q_status_counts(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_rollup_metrics",
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+              coalesce(user_id % 10, -1) AS user_bucket,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY CUBE (event_type, user_id % 10)""",
+)
+def q_rollup_metrics(spark, sf_dir):
+    events = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return (
+        events.cube("event_type", "user_bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q_dup_content",
+    """SELECT md5(substr(text, 1, 20)) AS fingerprint,
+              CAST(min(doc_id) AS BIGINT) AS keeper,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM documents GROUP BY md5(substr(text, 1, 20)) HAVING count(*) > 1""",
+)
+def q_dup_content(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.substring("text", 1, 20)).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query("q_approx_distinct")  # sketch values differ across engines -> rows-only
+def q_approx_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 streaming-equivalent batch checks + as-of join
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_session_windows",
+    """WITH o AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         FROM events),
+       s AS (
+         SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+         FROM o)
+       SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+       FROM s GROUP BY user_id, sid""",
+)
+def q_session_windows(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@query(
+    "q_asof_join",
+    """WITH o1 AS (
+         SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+         FROM orders GROUP BY o_custkey, o_orderdate)
+       SELECT e.event_id, e.user_id, o.o_orderkey AS last_order_key,
+              o.o_orderdate AS last_order_date
+       FROM events e ASOF JOIN o1 o
+         ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (latest order at-or-before each event) via the
+    union+window trick: one sort-shuffle, no range explosion — the
+    scalable pattern (SURVEY.md §2.3 J6). Orders are pre-reduced to one
+    row per (custkey, orderdate) so the as-of pick is tie-free."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    o1 = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    od = o1.select(
+        F.col("o_custkey").alias("uid"), F.col("o_orderdate").alias("t"),
+        "o_orderkey", F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("tag"),
+    )
+    ev = events.select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("o_orderkey"), "event_id",
+        F.lit(1).alias("tag"),
+    )
+    un = od.unionByName(ev)
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        un.withColumn("last_order_key", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("last_order_date",
+                    F.last(F.when(F.col("tag") == 0, F.col("t")),
+                           ignorenulls=True).over(w))
+        .filter((F.col("tag") == 1) & F.col("last_order_key").isNotNull())
+        .select("event_id", F.col("uid").alias("user_id"),
+                "last_order_key", "last_order_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-shaped oracle checks: broken links (C1/J2) + BFS frontier expansion
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_broken_links",
+    """SELECT doc_id AS src_doc, doc_id * 2 AS target FROM documents d
+       WHERE NOT EXISTS (SELECT 1 FROM documents d2 WHERE d2.doc_id = d.doc_id * 2)""",
+)
+def q_broken_links(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    links = docs.select(
+        F.col("doc_id").alias("src_doc"), (F.col("doc_id") * 2).alias("target")
+    )
+    targets = docs.select(F.col("doc_id").alias("target"))
+    return links.join(targets, "target", "left_anti").select("src_doc", "target")
+
+
+@query(
+    "q_crawl_bfs",
+    """WITH RECURSIVE e AS (
+         SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT count(*) FROM documents) AS dst
+         FROM documents
+         UNION ALL
+         SELECT doc_id, (doc_id * 7 + 3) % (SELECT count(*) FROM documents)
+         FROM documents),
+       r(node, depth) AS (
+         SELECT CAST(x AS BIGINT), 0 FROM (VALUES (0), (1), (2)) v(x)
+         UNION ALL
+         SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node
+         WHERE r.depth < 4)
+       SELECT node, CAST(min(depth) AS INT) AS depth FROM r GROUP BY node""",
+)
+def q_crawl_bfs(spark, sf_dir):
+    """Mini BFS frontier expansion (the crawl loop shape) over a synthetic
+    doc graph; iterative anti-join dedup exactly like crawl.py."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 2 + 1) % n).alias("dst")
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst")
+        )
+    )
+    spark_ = docs.sparkSession
+    visited = spark_.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "node long, depth int"
+    )
+    frontier = visited.select("node")
+    for d in range(1, 5):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited
+
+
+# ---------------------------------------------------------------------------
+# §2.7 checker-module scalar functions over documents/events
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_regex_extract",
+    """SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+er')) AS match
+       FROM documents""",
+)
+def q_regex_extract(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+er"), F.lit(0))
+        ).alias("match"),
+    )
+
+
+@query(
+    "q_misspelled_words",
+    """WITH vocab AS (
+         SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         FROM documents WHERE source = 'src0' AND doc_id < 10),
+       toks AS (
+         SELECT DISTINCT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         FROM documents WHERE source = 'src1')
+       SELECT doc_id, word FROM toks
+       WHERE word NOT IN (SELECT word FROM vocab)""",
+)
+def q_misspelled_words(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = lambda df: F.explode(
+        F.array_distinct(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0)))
+    ).alias("word")
+    vocab = docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 10)).select(toks(docs)).distinct()
+    words = docs.filter(F.col("source") == "src1").select("doc_id", toks(docs)).distinct()
+    return words.join(F.broadcast(vocab), "word", "left_anti").select("doc_id", "word")
+
+
+@query(
+    "q_comments",
+    """SELECT event_id, props FROM events
+       WHERE regexp_matches(props, '"k": 8[0-9]')""",
+)
+def q_comments(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("props").rlike('"k": 8[0-9]'))
+        .select("event_id", "props")
+    )
+
+
+@query(
+    "q_json_props",
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY 1""",
+)
+def q_json_props(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("k_bucket", F.get_json_object("props", "$.k").cast("long") % 10)
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_meta_lengths",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS total_chars,
+              CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+       FROM documents GROUP BY lang""",
+)
+def q_meta_lengths(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            (F.sum(F.length("text")).cast("double") / F.count("*")).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "q_readability",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_words,
+              CAST(greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS INT) AS n_sentences,
+              206.835
+                - 1.015 * (CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE)
+                           / greatest(1, len(regexp_extract_all(text, '[.!?]'))))
+                - 84.6 * (CAST(list_sum(list_transform(
+                              regexp_extract_all(lower(text), '[a-z]+'),
+                              w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                           AS DOUBLE)
+                          / len(regexp_extract_all(lower(text), '[a-z]+')))
+                AS flesch
+       FROM documents
+       WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0""",
+)
+def q_readability(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+    n_words = F.size(words)
+    n_sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0)))
+    )
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0)))
+            ),
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sentences.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / n_words.cast("double"))
+    )
+    return docs.filter(n_words > 0).select(
+        "doc_id", n_words.alias("n_words"), n_sentences.alias("n_sentences"),
+        flesch.alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_LIST_SQL = {
+    "en": "['the','and','of','to','a']",
+    "de": "['der','die','und','das']",
+    "fr": "['le','la','les','et']",
+}
+
+_LANG_VOTES_SQL = """
+  SELECT doc_id, lang,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             t -> list_contains({en}, t))) AS en_v,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             t -> list_contains({de}, t))) AS de_v,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             t -> list_contains({fr}, t))) AS fr_v
+  FROM documents
+""".format(en=_STOP_LIST_SQL["en"], de=_STOP_LIST_SQL["de"], fr=_STOP_LIST_SQL["fr"])
+
+
+@query(
+    "q_lang_id",
+    f"""WITH v AS ({_LANG_VOTES_SQL})
+       SELECT doc_id, lang,
+              CASE WHEN en_v >= de_v AND en_v >= fr_v AND en_v > 0 THEN 'en'
+                   WHEN de_v >= fr_v AND de_v > 0 THEN 'de'
+                   WHEN fr_v > 0 THEN 'fr'
+                   ELSE 'und' END AS pred_lang
+       FROM v""",
+)
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.lang_id(docs).select("doc_id", "lang", "pred_lang")
+
+
+@query(
+    "q_quality_score",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_words,
+              CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct,
+              CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                   t -> list_contains(['the','and','of','to','a'], t))) AS INT) AS n_stopwords,
+              CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0 THEN
+                CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                     t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+                / len(regexp_extract_all(lower(text), '[a-z]+')) END AS stopword_ratio,
+              CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0 THEN
+                CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+                     w -> length(w))) AS DOUBLE)
+                / len(regexp_extract_all(lower(text), '[a-z]+')) END AS avg_word_len
+       FROM documents""",
+)
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_features(docs).select(
+        "doc_id", "n_words", "n_punct", "n_stopwords", "stopword_ratio", "avg_word_len"
+    )
+
+
+@query(
+    "q_token_count",
+    f"""SELECT lang,
+              CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+                AS total_ws_tokens,
+              CAST(sum(len(regexp_extract_all(text, '{textstats.BPE_RE}'))) AS BIGINT)
+                AS total_bpe_tokens
+       FROM documents GROUP BY lang""",
+)
+def q_token_count(spark, sf_dir):
+    docs = textstats.token_counts(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.sum("n_ws_tokens").alias("total_ws_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    """SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       FROM documents""",
+)
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dedup_exact",
+    """SELECT md5(text) AS fingerprint, CAST(min(doc_id) AS BIGINT) AS doc_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_jaccard",
+    """WITH toks AS (
+         SELECT DISTINCT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+         FROM documents),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+       pair AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS inter,
+              CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+              CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+       FROM pair JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5""",
+)
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    """WITH toks AS (
+         SELECT DISTINCT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+         FROM documents),
+       sigs AS (
+         SELECT doc_id, seed, min(md5(seed || ':' || token)) AS sig
+         FROM toks, range(8) r(seed) GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, seed // 2 AS band,
+                string_agg(seed || '=' || sig, '|' ORDER BY seed || '=' || sig)
+                  AS bucket
+         FROM sigs GROUP BY doc_id, seed // 2)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b
+         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query("q_dedup_simhash")  # xxhash64-based -> rows-only
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@query("q_dedup_embedding")  # FP-threshold on engine-specific LSH -> rows-only
+def q_dedup_embedding(spark, sf_dir):
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_vec_norm",
+    """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+              list_max(embedding) AS max_val, label
+       FROM embeddings""",
+)
+def q_vec_norm(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.size("embedding").alias("dim"),
+        F.array_max("embedding").alias("max_val"), "label",
+    )
+
+
+@query(
+    "q_ann_cosine",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                  WHERE vec_id < 10),
+       scored AS (
+         SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])) AS cs
+         FROM q, embeddings e WHERE e.vec_id <> q.qid),
+       r AS (SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cs DESC, neighbor_id) AS rk
+             FROM scored)
+       SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank
+       FROM r WHERE rk <= 3""",
+)
+def q_ann_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries_df, k=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+@query("q_ann_lsh")  # sin()-ulp sign risk across engines -> rows-only
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries_df, k=3)
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_multimodal_meta",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              substr(hex(encode(text)), 1, 8) AS magic_hex
+       FROM documents""",
+)
+def q_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    from sitecheck_spark.multimodal import binary_metadata
+
+    return binary_metadata(docs, "payload", "doc_id")
+
+
+@query("q_multimodal_features")  # Pandas-UDF decode plumbing -> rows-only
+def q_multimodal_features(spark, sf_dir):
+    from sitecheck_spark.multimodal import extract_image_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# the crawl engine itself (rows-only: iterative, stateful, non-SQL)
+# ---------------------------------------------------------------------------
+
+@query("q_crawl_fetch_log")
+def q_crawl_fetch_log(spark, sf_dir):
+    from sitecheck_spark.crawl import CrawlConfig, crawl
+    from sitecheck_spark.sources.corpus import generate_pages_spark, make_seeds_pdf
+
+    pages = generate_pages_spark(spark, 60, seed=42)
+    cfg = CrawlConfig(budget_per_host=4, max_waves=4, n_shards=4,
+                      salt_buckets=2, run_checkers=False)
+    res = crawl(spark, pages, make_seeds_pdf().url.tolist(), cfg)
+    return res.fetch_log
+
+
+def queries():
+    return {name: spec["fn"] for name, spec in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: spec["sql"] for name, spec in QUERIES.items() if spec["sql"]}
