@@ -57,6 +57,7 @@ from sitecheck_spark.extract import PARSED_SCHEMA, parse_pages_batch
 from sitecheck_spark.functions.urls import canonicalize, netloc_of
 from sitecheck_spark.golden import IGNORED_EXTENSIONS
 from sitecheck_spark.seen import BloomShard
+from sitecheck_spark.sources.catalog import WaveCatalog
 
 
 @dataclass
@@ -228,38 +229,63 @@ def crawl(
     findings: list[DataFrame] = []
     metrics: list[dict] = []
 
-    # Gate the seeds (wave 0 of the contract).
-    gated_seeds = _robots_gate(spark, seeds_df, robots, frontier_cols)
-    blocked_seeds = gated_seeds.filter(~F.col("robots_allowed"))
-    findings.append(
-        blocked_seeds.select(
-            F.lit("robots").alias("module"), "url", F.lit(0).alias("wave"),
-            F.lit("robots_blocked").alias("detail"), "referrer",
-        )
+    empty_log = spark.createDataFrame(
+        [], "url string, netloc string, wave int, depth int, priority double, "
+            "referrer string, status int, content_len long, n_links int",
     )
-    frontier = gated_seeds.filter("robots_allowed").select(*frontier_cols)
-    frontier = frontier.localCheckpoint(eager=True)
+    empty_findings = spark.createDataFrame([], FINDINGS_SCHEMA)
 
-    seen = _with_identity(seeds_df.select("url"), cfg.n_shards).localCheckpoint(eager=True)
+    catalog = WaveCatalog(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    resumed_from = catalog.last_committed_wave() if catalog else None
+
+    pending_findings: list[DataFrame] = []  # pre-wave-0 (seed gating) findings
     shards: DataFrame | None = None
-    if cfg.use_bloom:
-        shards = _merge_shards(spark, seen, None, cfg)
 
-    wave = 0
+    if resumed_from is not None:
+        # Resume-exactly: rebuild state from the last committed wave.
+        frontier = catalog.read_table(spark, "frontier", resumed_from)
+        frontier = frontier.localCheckpoint(eager=True)
+        seen = catalog.read_table(spark, "seen", resumed_from).localCheckpoint(eager=True)
+        if cfg.use_bloom:
+            shards = catalog.read_table(spark, "shards", resumed_from)
+            shards = shards.localCheckpoint(eager=True)
+        wave = resumed_from + 1
+    else:
+        # Gate the seeds (wave 0 of the contract).
+        gated_seeds = _robots_gate(spark, seeds_df, robots, frontier_cols)
+        blocked_seeds = gated_seeds.filter(~F.col("robots_allowed"))
+        pending_findings.append(
+            blocked_seeds.select(
+                F.lit("robots").alias("module"), "url", F.lit(0).alias("wave"),
+                F.lit("robots_blocked").alias("detail"), "referrer",
+            )
+        )
+        frontier = gated_seeds.filter("robots_allowed").select(*frontier_cols)
+        frontier = frontier.localCheckpoint(eager=True)
+
+        seen = _with_identity(seeds_df.select("url"), cfg.n_shards).localCheckpoint(eager=True)
+        if cfg.use_bloom:
+            shards = _merge_shards(spark, seen, None, cfg)
+        wave = 0
+
     n_frontier = frontier.count()
+    end_wave = wave
     while n_frontier > 0 and wave < cfg.max_waves:
+        wave_logs: list[DataFrame] = []
+        wave_findings: list[DataFrame] = list(pending_findings)
+        pending_findings = []
         elected, remainder = _elect(frontier, budgets, cfg)
 
         fetched = elected.join(corpus, "url", "left")
         missing = fetched.filter(F.col("html").isNull())
-        fetch_logs.append(
+        wave_logs.append(
             missing.select(
                 "url", "netloc", F.lit(wave).alias("wave"), "depth", "priority",
                 "referrer", F.lit(404).alias("status"),
                 F.lit(0).cast("long").alias("content_len"), F.lit(0).alias("n_links"),
             )
         )
-        findings.append(
+        wave_findings.append(
             missing.select(
                 F.lit("broken_link").alias("module"), "url",
                 F.lit(wave).alias("wave"), F.lit("404").alias("detail"), "referrer",
@@ -273,14 +299,14 @@ def crawl(
             .mapInPandas(parse_pages_batch, PARSED_SCHEMA)
         ).persist()
 
-        fetch_logs.append(
+        wave_logs.append(
             parsed.select(
                 "url", "netloc", "wave", "depth", "priority", "referrer",
                 F.lit(200).alias("status"), "content_len", "n_links",
             )
         )
         if cfg.run_checkers:
-            findings.extend(_run_checkers(parsed, dictionary))
+            wave_findings.extend(_run_checkers(parsed, dictionary))
 
         cand = (
             parsed.filter(F.col("depth") + 1 <= cfg.max_depth)
@@ -308,7 +334,7 @@ def crawl(
         gated = _robots_gate(
             spark, new, robots, frontier_cols + ["url_hash", "shard"]
         ).persist()
-        findings.append(
+        wave_findings.append(
             gated.filter(~F.col("robots_allowed")).select(
                 F.lit("robots").alias("module"), "url", F.lit(wave).alias("wave"),
                 F.lit("robots_blocked").alias("detail"), "referrer",
@@ -324,22 +350,43 @@ def crawl(
         if cfg.use_bloom:
             shards = _merge_shards(spark, new_seen, shards, cfg)
 
-        parsed.unpersist()
-        gated.unpersist()
+        fetch_logs.extend(wave_logs)
+        findings.extend(wave_findings)
 
         n_frontier = frontier.count()
-        metrics.append({"wave": wave, "n_frontier_next": n_frontier})
+        wave_metrics = {"wave": wave, "n_frontier_next": n_frontier}
+        metrics.append(wave_metrics)
+
+        if catalog is not None:
+            log_delta = _union_all(wave_logs, empty_log)
+            findings_delta = _union_all(wave_findings, empty_findings)
+            state = {"frontier": frontier, "seen": seen}
+            if shards is not None:
+                state["shards"] = shards
+            catalog.commit_wave(
+                wave, state,
+                {"fetch_log": log_delta, "findings": findings_delta},
+                metrics=wave_metrics,
+                config={"budget_per_host": cfg.budget_per_host,
+                        "max_depth": cfg.max_depth, "seeds": seed_canon},
+            )
+
+        parsed.unpersist()
+        gated.unpersist()
+        end_wave = wave + 1
         wave += 1
 
-    empty_log = spark.createDataFrame(
-        [], "url string, netloc string, wave int, depth int, priority double, "
-            "referrer string, status int, content_len long, n_links int",
-    )
-    empty_findings = spark.createDataFrame([], FINDINGS_SCHEMA)
-    fetch_log = _union_all(fetch_logs, empty_log)
-    findings_df = _union_all(findings, empty_findings)
+    findings.extend(pending_findings)  # loop never ran (e.g. all seeds blocked)
+
+    if catalog is not None and catalog.last_committed_wave() is not None:
+        last = catalog.last_committed_wave()
+        fetch_log = catalog.read_deltas_through(spark, "fetch_log", last)
+        findings_df = catalog.read_deltas_through(spark, "findings", last)
+    else:
+        fetch_log = _union_all(fetch_logs, empty_log)
+        findings_df = _union_all(findings, empty_findings)
     return CrawlResult(
-        fetch_log=fetch_log, findings=findings_df, seen=seen, waves=wave,
+        fetch_log=fetch_log, findings=findings_df, seen=seen, waves=end_wave,
         metrics=metrics,
     )
 

@@ -1,0 +1,112 @@
+"""Wave-checkpoint catalog: atomic commits + resume-exactly (SURVEY.md §3.2 S4/R3).
+
+The reference suspends/resumes by pickling its queue + seen set (SURVEY.md
+§1.1). Here every crawl wave commits its full post-wave state — frontier,
+seen, bloom shards — plus this wave's fetch-log/findings deltas and metrics,
+with lineage recorded per table.
+
+Commit protocol (works on any rename-atomic filesystem; the seam where an
+Iceberg catalog drops in — snapshot commit replaces the manifest rename, and
+no Iceberg runtime jar exists in this container, so parquet it is):
+
+    1. write each table to   <base>/.tmp/<uuid>/
+    2. os.rename into place  <base>/<table>/wave=<k>/
+    3. write manifest JSON to <base>/.manifest.tmp, fsync,
+       os.rename -> <base>/manifest.json        <- THE commit point
+
+A job killed anywhere before step 3 leaves the previous manifest intact:
+resume re-reads the last committed wave's state and recomputes the wave that
+died. Orphaned table dirs from the dead wave are overwritten on rewrite and
+ignored by readers (readers only follow the manifest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "manifest.json"
+
+STATE_TABLES = ("frontier", "seen", "shards")
+DELTA_TABLES = ("fetch_log", "findings")
+
+
+class WaveCatalog:
+    def __init__(self, base_dir: str):
+        self.base = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base, MANIFEST)
+
+    def read_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def last_committed_wave(self) -> int | None:
+        m = self.read_manifest()
+        return None if m is None else m["committed_wave"]
+
+    # -- table IO ----------------------------------------------------------
+
+    def _table_dir(self, name: str, wave: int) -> str:
+        return os.path.join(self.base, name, f"wave={wave}")
+
+    def _write_table(self, df: DataFrame, name: str, wave: int) -> dict:
+        tmp = os.path.join(self.base, ".tmp", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(tmp)
+        dest = self._table_dir(name, wave)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        if os.path.exists(dest):  # orphan from a killed uncommitted wave
+            shutil.rmtree(dest)
+        os.rename(tmp, dest)
+        n_files = sum(1 for f in os.listdir(dest) if f.endswith(".parquet"))
+        return {"path": dest, "n_files": n_files}
+
+    def read_table(self, spark: SparkSession, name: str, wave: int) -> DataFrame:
+        return spark.read.parquet(self._table_dir(name, wave))
+
+    def read_deltas_through(self, spark: SparkSession, name: str, wave: int) -> DataFrame:
+        paths = [self._table_dir(name, k) for k in range(wave + 1)]
+        paths = [p for p in paths if os.path.exists(p)]
+        return spark.read.parquet(*paths)
+
+    # -- commit ------------------------------------------------------------
+
+    def commit_wave(
+        self,
+        wave: int,
+        state: dict[str, DataFrame],
+        deltas: dict[str, DataFrame],
+        metrics: dict | None = None,
+        config: dict | None = None,
+    ) -> None:
+        lineage: dict[str, dict] = {}
+        for name, df in state.items():
+            lineage[name] = self._write_table(df, name, wave)
+        for name, df in deltas.items():
+            lineage[f"{name}_delta"] = self._write_table(df, name, wave)
+
+        prev = self.read_manifest() or {"waves": {}}
+        prev["committed_wave"] = wave
+        if config is not None:
+            prev["config"] = config
+        prev.setdefault("waves", {})[str(wave)] = {
+            "lineage": lineage,
+            "metrics": metrics or {},
+        }
+        tmp = os.path.join(self.base, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump(prev, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._manifest_path())
