@@ -1,0 +1,152 @@
+"""Throughput bench (SURVEY.md §6, BASELINE.md).
+
+Runs (a) the crawl engine — the BASELINE.json headline metric is URLs
+crawled+validated per second — over a deterministically generated heavy
+corpus, and (b) headline operator queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl_urls": N, "crawl_urls_per_sec": X, "cpus": C}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR       (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS         (default 32)
+  SPARK_GRAFT_BENCH_PAGES  (default 120000)
+  SPARK_GRAFT_BENCH_WAVES  (default 4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+HEADLINE = [
+    "q_join_orders_customer",
+    "q_topk_per_group",
+    "q_latest_event_per_user",
+    "q_session_windows",
+    "q_asof_join",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_token_count",
+    "q_lang_id",
+    "q_ann_cosine",
+]
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
+BENCH_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "4"))
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sitecheck-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.default.parallelism", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .getOrCreate()
+    )
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_crawl(spark: SparkSession, n_pages: int, max_waves: int) -> dict:
+    from sitecheck_spark.crawl import CrawlConfig, crawl
+    from sitecheck_spark.sources.corpus import (
+        HEAVY_PROFILE,
+        bench_seeds,
+        generate_pages_spark,
+        make_dictionary_pdf,
+    )
+
+    # Materialize the corpus as a parquet table first — `pages` is a TABLE in
+    # the engine contract (Iceberg/Common-Crawl style); generating it inline
+    # would re-run the Python generator inside every broadcast/cache miss.
+    import tempfile
+
+    corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR") or tempfile.mkdtemp(
+        prefix="sitecheck-bench-corpus-"
+    )
+    marker = os.path.join(corpus_dir, "_SUCCESS")
+    gen_t0 = time.time()
+    if not os.path.exists(marker):
+        generate_pages_spark(spark, n_pages, seed=42, profile=HEAVY_PROFILE)\
+            .write.mode("overwrite").parquet(corpus_dir)
+    gen_sec = round(time.time() - gen_t0, 2)
+    pages = spark.read.parquet(corpus_dir)
+    dictionary = spark.createDataFrame(make_dictionary_pdf())
+    seeds = bench_seeds(n_pages, every=500)
+    cfg = CrawlConfig(
+        budget_per_host=10**9,  # throughput mode: budget never binds
+        max_waves=max_waves,
+        max_depth=10**6,
+        n_shards=2 * CPUS,
+        salt_buckets=8,
+    )
+    t0 = time.time()
+    res = crawl(spark, pages, seeds, cfg, dictionary=dictionary)
+    n_urls = res.fetch_log.count()
+    n_findings = res.findings.count()
+    secs = time.time() - t0
+    return {
+        "corpus_gen_sec": gen_sec,
+        "crawl_sec": round(secs, 2),
+        "crawl_urls": n_urls,
+        "crawl_findings": n_findings,
+        "crawl_waves": res.waves,
+        "crawl_urls_per_sec": round(n_urls / secs, 1),
+    }
+
+
+def main() -> None:
+    from sitecheck_spark.queries import QUERIES
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    crawl_stats = bench_crawl(spark, BENCH_PAGES, BENCH_WAVES)
+    timings["crawl"] = crawl_stats["crawl_sec"]
+
+    for name in HEADLINE:
+        fn = QUERIES[name]["fn"]
+        fn(spark, SF_DIR).count()  # warm (plan + IO caches)
+        t0 = time.time()
+        _materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                **crawl_stats,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

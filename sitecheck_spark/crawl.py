@@ -38,6 +38,7 @@ one shard's bits fit comfortably in one task (default 2^17 bits = 16 KiB).
 from __future__ import annotations
 
 import re
+import time
 from dataclasses import dataclass, field
 from typing import Iterable, Iterator
 
@@ -73,6 +74,12 @@ class CrawlConfig:
     bloom_hashes: int = 7
     checkpoint_dir: str | None = None  # enables resumable mode (catalog.py)
     run_checkers: bool = True
+    verbose: bool = False
+    # Broadcast the elected url set into the pages scan (no corpus shuffle).
+    # Right whenever one wave's election fits in executor memory. Set False
+    # on clusters where budget*hosts exceeds broadcast limits — there the
+    # shuffle join is co-located by the pages table's url bucketing anyway.
+    broadcast_fetch: bool = True
 
 
 @dataclass
@@ -125,6 +132,42 @@ def _budgets_fn(budget_per_host: int):
     return fn
 
 
+_RULES_SCHEMA = "netloc string, seq int, prefix string, allow boolean"
+
+
+def _compile_rules_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Compile robots.txt bodies ONCE into (netloc, seq, prefix, allow) rows.
+
+    Uses urllib.robotparser's own parsed entries so semantics (first matching
+    rule in file order wins, empty-Disallow -> allow) are exactly its
+    semantics; the per-wave gate then becomes a pure JVM prefix join instead
+    of a Python pass per wave. Limitation vs robotparser: candidate paths are
+    matched as-is (already percent-normalized by canonicalize), not re-quoted
+    with quote(path, safe='/') — identical for standard ASCII paths.
+    """
+    for pdf in batches:
+        rows = []
+        for netloc, rules in zip(pdf["netloc"], pdf["rules"]):
+            if rules is None or (isinstance(rules, float) and pd.isna(rules)):
+                continue
+            try:
+                rp = robots_mod._build_parser(rules)
+            except Exception:
+                continue
+            entry = None
+            for e in rp.entries:
+                if e.applies_to(robots_mod.USER_AGENT):
+                    entry = e
+                    break
+            if entry is None:
+                entry = rp.default_entry
+            if entry is None:
+                continue
+            for i, line in enumerate(entry.rulelines):
+                rows.append((netloc, i, line.path, bool(line.allowance)))
+        yield pd.DataFrame(rows, columns=["netloc", "seq", "prefix", "allow"])
+
+
 def _robots_gate_fn(passthrough_cols: list[str]):
     """mapInPandas over (…cols…, rules) -> (…cols…, robots_allowed)."""
 
@@ -155,17 +198,55 @@ def _robots_gate_fn(passthrough_cols: list[str]):
 
 # --- bloom shard cogroup functions (module-level: must be picklable) -------
 
-def _make_probe_fn(cand_cols: list[str]):
-    def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
-        out = cand_pdf[cand_cols].copy()
-        if len(shard_pdf) == 0 or len(cand_pdf) == 0:
-            out["maybe_seen"] = False
-            return out
-        bloom = BloomShard.from_bytes(bytes(shard_pdf["bits"].iloc[0]))
-        out["maybe_seen"] = bloom.contains(cand_pdf["url_hash"].to_numpy())
-        return out
+_CAND_COLS = ["url", "netloc", "depth", "priority", "referrer", "url_hash", "shard"]
+_FUSED_SCHEMA = (
+    "kind int, url string, netloc string, depth int, priority double, "
+    "referrer string, url_hash long, shard int, maybe_seen boolean, "
+    "bits binary, n_items long"
+)
 
-    return probe
+
+def _make_probe_merge_fn(n_bits: int, n_hashes: int):
+    """ONE cogroup per wave doing both bloom probe and bloom update.
+
+    Sound because the seen set grows by exactly this wave's candidate set:
+    every candidate is marked seen this wave (enqueued or robots-blocked),
+    and re-adding an already-seen hash is a bloom no-op. Probing happens
+    before adding, so same-wave flags are unaffected.
+    """
+
+    def fn(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(shard_pdf):
+            bloom = BloomShard.from_bytes(bytes(shard_pdf["bits"].iloc[0]))
+            n_items = int(shard_pdf["n_items"].iloc[0])
+        else:
+            bloom = BloomShard(n_bits, n_hashes)
+            n_items = 0
+        parts = []
+        if len(cand_pdf):
+            hashes = cand_pdf["url_hash"].to_numpy()
+            out = cand_pdf[_CAND_COLS].copy()
+            out["kind"] = 0
+            out["maybe_seen"] = bloom.contains(hashes)
+            bloom.add(hashes)
+            n_items += int(len(cand_pdf))
+            out["bits"] = None
+            out["n_items"] = 0
+            parts.append(out)
+        parts.append(
+            pd.DataFrame(
+                {
+                    "url": [""], "netloc": [""], "depth": [0], "priority": [0.0],
+                    "referrer": [""], "url_hash": [0], "shard": [int(key[0])],
+                    "kind": [1], "maybe_seen": [False],
+                    "bits": [bloom.to_bytes()], "n_items": [n_items],
+                }
+            )
+        )
+        cols = ["kind"] + _CAND_COLS + ["maybe_seen", "bits", "n_items"]
+        return pd.concat(parts, ignore_index=True)[cols]
+
+    return fn
 
 
 def _make_merge_fn(n_bits: int, n_hashes: int):
@@ -212,12 +293,20 @@ def crawl(
     seed_canon = sorted({u for u in (canonicalize(s) for s in seed_urls) if u})
     allowed = cfg.allowed_netlocs or sorted({netloc_of(u) for u in seed_canon})
 
-    corpus = latest_pages(pages).persist()
+    # Fetch source: version dedup (as-of max warc_ts) happens per wave on the
+    # *matched* rows only — joining first and deduping after means the big
+    # html column is never shuffled corpus-wide or columnar-cached. AQE picks
+    # the join strategy at runtime: broadcast while the elected set is small,
+    # sort-merge against the (bucketed, at scale) pages table when it is not.
+    pages_slim = pages.select("url", "warc_ts", "html")
     if robots is None:
         robots = robots_from_pages(pages)
     robots = robots.persist()
 
-    budgets = robots.mapInPandas(_budgets_fn(cfg.budget_per_host), _BUDGET_SCHEMA)
+    budgets = robots.mapInPandas(
+        _budgets_fn(cfg.budget_per_host), _BUDGET_SCHEMA
+    ).persist()
+    rules = robots.mapInPandas(_compile_rules_batches, _RULES_SCHEMA).persist()
 
     frontier_cols = ["url", "netloc", "depth", "priority", "referrer"]
     seeds_df = spark.createDataFrame(
@@ -252,7 +341,7 @@ def crawl(
         wave = resumed_from + 1
     else:
         # Gate the seeds (wave 0 of the contract).
-        gated_seeds = _robots_gate(spark, seeds_df, robots, frontier_cols)
+        gated_seeds = _robots_gate(seeds_df, rules, frontier_cols)
         blocked_seeds = gated_seeds.filter(~F.col("robots_allowed"))
         pending_findings.append(
             blocked_seeds.select(
@@ -271,12 +360,23 @@ def crawl(
     n_frontier = frontier.count()
     end_wave = wave
     while n_frontier > 0 and wave < cfg.max_waves:
+        t_wave = time.time()
+        prev_frontier, prev_seen, prev_shards = frontier, seen, shards
         wave_logs: list[DataFrame] = []
         wave_findings: list[DataFrame] = list(pending_findings)
         pending_findings = []
         elected, remainder = _elect(frontier, budgets, cfg)
 
-        fetched = elected.join(corpus, "url", "left")
+        elected_urls = elected.select("url")
+        if cfg.broadcast_fetch:
+            elected_urls = F.broadcast(elected_urls)
+        matched = pages_slim.join(elected_urls, "url")
+        latest_rows = matched.groupBy("url").agg(
+            F.max_by("html", "warc_ts").alias("html")
+        )
+        # One corpus scan+join per wave: everything downstream (404 split,
+        # parse, fetch-log delta) reads this cache, not the parquet again.
+        fetched = elected.join(latest_rows, "url", "left").persist()
         missing = fetched.filter(F.col("html").isNull())
         wave_logs.append(
             missing.select(
@@ -329,10 +429,15 @@ def crawl(
         )
         cand = _with_identity(cand, cfg.n_shards)
 
-        new = _filter_unseen(cand, seen, shards, cfg)
+        fused_handle = None
+        if cfg.use_bloom and shards is not None:
+            new, new_shards, fused_handle = _probe_and_absorb(cand, seen, shards, cfg)
+        else:
+            new = cand.join(seen.select("url"), "url", "left_anti")
+            new_shards = None
 
         gated = _robots_gate(
-            spark, new, robots, frontier_cols + ["url_hash", "shard"]
+            new, rules, frontier_cols + ["url_hash", "shard"]
         ).persist()
         wave_findings.append(
             gated.filter(~F.col("robots_allowed")).select(
@@ -341,25 +446,50 @@ def crawl(
             )
         )
 
+        t0 = time.time()
         new_frontier_rows = gated.filter("robots_allowed").select(*frontier_cols)
         frontier = remainder.select(*frontier_cols).unionByName(new_frontier_rows)
         frontier = frontier.localCheckpoint(eager=True)
+        t_frontier = time.time() - t0
 
+        t0 = time.time()
         new_seen = gated.select("url", "url_hash", "shard")
         seen = seen.unionByName(new_seen).localCheckpoint(eager=True)
+        t_seen = time.time() - t0
+        t0 = time.time()
         if cfg.use_bloom:
-            shards = _merge_shards(spark, new_seen, shards, cfg)
+            shards = new_shards if new_shards is not None else _merge_shards(
+                spark, new_seen, shards, cfg
+            )
+        t_shards = time.time() - t0
 
-        fetch_logs.extend(wave_logs)
-        findings.extend(wave_findings)
+        t0 = time.time()
+        log_delta = _union_all(wave_logs, empty_log)
+        findings_delta = _union_all(wave_findings, empty_findings)
+        if catalog is None:
+            # Materialize the small per-wave deltas now, while `parsed` is
+            # still cached — otherwise collecting the final fetch_log would
+            # re-run every wave's parse pass.
+            log_delta = log_delta.localCheckpoint(eager=True)
+            findings_delta = findings_delta.localCheckpoint(eager=True)
+        fetch_logs.append(log_delta)
+        findings.append(findings_delta)
+        t_deltas = time.time() - t0
 
+        t0 = time.time()
         n_frontier = frontier.count()
+        t_count = time.time() - t0
+        # Release superseded per-wave checkpoints: without this, a long crawl
+        # leaks one cached RDD per wave per state table and everything after
+        # it pays the GC/block-manager tax.
+        prev_frontier.unpersist()
+        prev_seen.unpersist()
+        if prev_shards is not None and shards is not prev_shards:
+            prev_shards.unpersist()
         wave_metrics = {"wave": wave, "n_frontier_next": n_frontier}
         metrics.append(wave_metrics)
 
         if catalog is not None:
-            log_delta = _union_all(wave_logs, empty_log)
-            findings_delta = _union_all(wave_findings, empty_findings)
             state = {"frontier": frontier, "seen": seen}
             if shards is not None:
                 state["shards"] = shards
@@ -371,12 +501,25 @@ def crawl(
                         "max_depth": cfg.max_depth, "seeds": seed_canon},
             )
 
+        fetched.unpersist()
         parsed.unpersist()
         gated.unpersist()
+        if fused_handle is not None:
+            fused_handle.unpersist()
+        if cfg.verbose:
+            print(f"[crawl] wave={wave} next_frontier={n_frontier} "
+                  f"wall={time.time()-t_wave:.2f}s "
+                  f"(frontier={t_frontier:.1f} seen={t_seen:.1f} "
+                  f"shards={t_shards:.1f} deltas={t_deltas:.1f} "
+                  f"count={t_count:.1f})", flush=True)
         end_wave = wave + 1
         wave += 1
 
     findings.extend(pending_findings)  # loop never ran (e.g. all seeds blocked)
+
+    robots.unpersist()
+    budgets.unpersist()
+    rules.unpersist()
 
     if catalog is not None and catalog.last_committed_wave() is not None:
         last = catalog.last_committed_wave()
@@ -427,16 +570,24 @@ def _elect(frontier: DataFrame, budgets: DataFrame, cfg: CrawlConfig):
     return elected, remainder
 
 
-def _robots_gate(
-    spark: SparkSession, df: DataFrame, robots: DataFrame, passthrough: list[str]
-) -> DataFrame:
-    """Join rules on netloc, evaluate verdicts vectorized per batch."""
-    joined = df.join(robots, "netloc", "left").repartition("netloc")
-    schema = ", ".join(
-        f"{c} {_SPARK_TYPES[c]}" for c in passthrough
-    ) + ", robots_allowed boolean"
-    cols = [c for c in passthrough]
-    return joined.select(*cols, "rules").mapInPandas(_robots_gate_fn(cols), schema)
+def _robots_gate(df: DataFrame, rules: DataFrame, passthrough: list[str]) -> DataFrame:
+    """R1 gate, pure JVM: join pre-compiled prefix rules on netloc, first
+    matching rule in file order decides; no rule -> allow. One shuffle
+    (the groupBy), zero Python. Catalyst broadcasts `rules` when small;
+    at web scale it shuffle-joins on netloc."""
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    hit = (
+        F.col("prefix").isNotNull()
+        & ((F.col("prefix") == "") | (F.col("prefix") == "*")
+           | F.col("_path").startswith(F.col("prefix")))
+    )
+    first_rule = F.min(F.when(hit, F.struct(F.col("seq"), F.col("allow"))))
+    return (
+        df.withColumn("_path", path)
+        .join(rules, "netloc", "left")
+        .groupBy(*passthrough)
+        .agg(F.coalesce(first_rule["allow"], F.lit(True)).alias("robots_allowed"))
+    )
 
 
 _SPARK_TYPES = {
@@ -450,26 +601,31 @@ _SPARK_TYPES = {
 }
 
 
-def _filter_unseen(
-    cand: DataFrame, seen: DataFrame, shards: DataFrame | None, cfg: CrawlConfig
-) -> DataFrame:
-    """A1 + J2: bloom probe first; exact anti-join only for bloom-positives."""
-    if shards is None or not cfg.use_bloom:
-        return cand.join(seen.select("url"), "url", "left_anti")
-    cand_cols = ["url", "netloc", "depth", "priority", "referrer", "url_hash", "shard"]
-    probe_schema = (
-        ", ".join(f"{c} {_SPARK_TYPES.get(c, 'string')}" for c in cand_cols)
-        + ", maybe_seen boolean"
-    )
-    probed = (
+def _probe_and_absorb(
+    cand: DataFrame, seen: DataFrame, shards: DataFrame, cfg: CrawlConfig
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """A1 + J2 fused: one cogroup probes the bloom AND absorbs this wave's
+    candidate hashes into it. Returns (new, new_shards, fused_handle);
+    caller unpersists fused_handle once new/new_shards are materialized.
+    The exact anti-join runs only on bloom-positive candidates."""
+    fused = (
         cand.groupby("shard")
-        .cogroup(shards.select("shard", "bits").groupby("shard"))
-        .applyInPandas(_make_probe_fn(cand_cols), probe_schema)
+        .cogroup(shards.select("shard", "bits", "n_items").groupby("shard"))
+        .applyInPandas(
+            _make_probe_merge_fn(cfg.bloom_bits, cfg.bloom_hashes), _FUSED_SCHEMA
+        )
+        .persist()
     )
+    new_shards = (
+        fused.filter(F.col("kind") == 1)
+        .select("shard", "bits", "n_items")
+        .localCheckpoint(eager=True)
+    )
+    probed = fused.filter(F.col("kind") == 0).select(*_CAND_COLS, "maybe_seen")
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen.select("url"), "url", "left_anti")
-    return definitely_new.unionByName(confirmed_new)
+    return definitely_new.unionByName(confirmed_new), new_shards, fused
 
 
 def _merge_shards(

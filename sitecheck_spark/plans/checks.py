@@ -1,0 +1,57 @@
+"""Physical-plan assertion hooks (SURVEY.md §4).
+
+Plans are the contract with Catalyst: these helpers let tests assert the
+optimizations the engine depends on actually happen — column pruning keeps
+`html` out of non-parse scans, filters reach the parquet reader, small dims
+broadcast, hot paths stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def scan_read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every parquet scan in the plan."""
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
+
+
+def assert_column_never_scanned(df: DataFrame, column: str) -> None:
+    schemas = scan_read_schemas(df)
+    offenders = [s for s in schemas if f"{column}:" in s]
+    assert not offenders, (
+        f"column '{column}' appears in scan ReadSchema — pruning failed: {offenders}"
+    )
+
+
+def assert_filter_pushed(df: DataFrame, column: str) -> None:
+    pushed = pushed_filters(df)
+    assert any(column in p for p in pushed), (
+        f"no pushed filter on '{column}'; PushedFilters={pushed}"
+    )
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        "expected a broadcast join in plan:\n" + plan[:2000]
+    )
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of Exchange operators in the plan tree (not the detail dump)."""
+    return len(re.findall(r"\(\d+\) Exchange", formatted_plan(df)))
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    return "WholeStageCodegen" in formatted_plan(df)

@@ -109,12 +109,20 @@ def _is_private(host: str, idx: int) -> bool:
     return host == "alpha.example.org" and idx % 5 == 4
 
 
-def _page_html(seed: int, host: str, idx: int, n_host_pages: int, version: int) -> tuple[str, str]:
+DEFAULT_PROFILE = {"min_words": 30, "max_words": 120, "min_links": 2, "max_links": 5}
+# heavier pages for throughput benches: more text to parse, more links to
+# canonicalize/dedupe per wave
+HEAVY_PROFILE = {"min_words": 300, "max_words": 900, "min_links": 8, "max_links": 16}
+
+
+def _page_html(seed: int, host: str, idx: int, n_host_pages: int, version: int,
+               profile: dict | None = None) -> tuple[str, str]:
     """Pure row function -> (html, lang). Deterministic in all args."""
+    prof = profile or DEFAULT_PROFILE
     rng = random.Random(f"{seed}:{host}:{idx}:v{version}")
     lang = rng.choices(["en", "de", "fr"], weights=[90, 5, 5])[0]
 
-    words = rng.choices(DICTIONARY, k=rng.randint(30, 120))
+    words = rng.choices(DICTIONARY, k=rng.randint(prof["min_words"], prof["max_words"]))
     if rng.random() < 0.25:
         pos = rng.randrange(len(words))
         words.insert(pos, rng.choice(MISSPELLINGS))
@@ -127,7 +135,7 @@ def _page_html(seed: int, host: str, idx: int, n_host_pages: int, version: int) 
     # guaranteed cycle within host
     nxt = (idx + 1) % n_host_pages
     links.append(f"/{'private' if _is_private(host, nxt) else 'p'}/{nxt}.html")
-    for _ in range(rng.randint(2, 5)):
+    for _ in range(rng.randint(prof["min_links"], prof["max_links"])):
         j = rng.randrange(n_host_pages)
         style = rng.randrange(5)
         priv = "private" if _is_private(host, j) else "p"
@@ -198,7 +206,8 @@ def _versions_for(seed: int, host: str, idx: int) -> int:
     return 3 if r < 0.1 else (2 if r < 0.4 else 1)
 
 
-def _rows_for_global_ids(ids: Iterable[int], n_pages: int, seed: int) -> Iterator[tuple]:
+def _rows_for_global_ids(ids: Iterable[int], n_pages: int, seed: int,
+                         profile: dict | None = None) -> Iterator[tuple]:
     layout = host_layout(n_pages)
     for g in ids:
         # locate host by offset
@@ -211,7 +220,7 @@ def _rows_for_global_ids(ids: Iterable[int], n_pages: int, seed: int) -> Iterato
         n_versions = _versions_for(seed, host, idx)
         url = page_url(host, idx, _is_private(host, idx))
         for v in range(n_versions):
-            html, lang = _page_html(seed, host, idx, count, v)
+            html, lang = _page_html(seed, host, idx, count, v, profile)
             ts = _EPOCH + dt.timedelta(hours=g % 8760, minutes=17 * v)
             yield (url, ts, html.encode("utf-8"), extract_text(html), lang)
 
@@ -228,15 +237,17 @@ def _robots_rows() -> list[tuple]:
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
-def make_pages_pdf(n_pages: int, seed: int = 42, include_robots: bool = True) -> pd.DataFrame:
+def make_pages_pdf(n_pages: int, seed: int = 42, include_robots: bool = True,
+                   profile: dict | None = None) -> pd.DataFrame:
     """Local (pandas) corpus for tests. Includes robots.txt pages."""
-    rows = list(_rows_for_global_ids(range(n_pages), n_pages, seed))
+    rows = list(_rows_for_global_ids(range(n_pages), n_pages, seed, profile))
     if include_robots:
         rows.extend(_robots_rows())
     return pd.DataFrame(rows, columns=PAGES_COLUMNS)
 
 
-def generate_pages_spark(spark, n_pages: int, seed: int = 42, partitions: int | None = None):
+def generate_pages_spark(spark, n_pages: int, seed: int = 42, partitions: int | None = None,
+                         profile: dict | None = None):
     """Distributed corpus generation: spark.range -> mapInPandas.
 
     Identical output to make_pages_pdf for the same (n_pages, seed) regardless
@@ -248,7 +259,7 @@ def generate_pages_spark(spark, n_pages: int, seed: int = 42, partitions: int | 
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = list(_rows_for_global_ids(pdf["id"].tolist(), n_pages, seed))
+            rows = list(_rows_for_global_ids(pdf["id"].tolist(), n_pages, seed, profile))
             yield pd.DataFrame(rows, columns=PAGES_COLUMNS)
 
     rng = spark.range(0, n_pages, numPartitions=partitions or spark.sparkContext.defaultParallelism)
@@ -278,3 +289,13 @@ def make_robots_pdf() -> pd.DataFrame:
 
 def make_dictionary_pdf() -> pd.DataFrame:
     return pd.DataFrame({"word": DICTIONARY})
+
+
+def bench_seeds(n_pages: int, every: int = 1000) -> list[str]:
+    """Deterministic seed list spread across hosts for throughput benches."""
+    seeds = []
+    for host, count, _off in host_layout(n_pages):
+        for idx in range(0, count, every):
+            if not _is_private(host, idx):
+                seeds.append(page_url(host, idx))
+    return seeds

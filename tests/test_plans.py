@@ -1,0 +1,77 @@
+"""Physical-plan tests (SURVEY.md §4): assert the optimizations the engine
+relies on actually materialize in Catalyst's plans."""
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sitecheck_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_column_never_scanned,
+    assert_filter_pushed,
+    count_shuffles,
+    formatted_plan,
+    scan_read_schemas,
+)
+from sitecheck_spark.sources.corpus import make_pages_pdf
+
+from conftest import SF_DIR
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark):
+    d = tempfile.mkdtemp() + "/pages"
+    spark.createDataFrame(make_pages_pdf(60), PAGES_SCHEMA).write.parquet(d)
+    return d
+
+
+def test_html_pruned_from_link_count_scan(spark, pages_parquet):
+    """The single biggest I/O lever at 10^10 scale: html:binary must never be
+    read except into the parse pass (SURVEY.md §4)."""
+    pages = spark.read.parquet(pages_parquet)
+    q = pages.groupBy("lang").agg(F.count("*").alias("n"))
+    assert_column_never_scanned(q, "html")
+    q2 = pages.select("url", "warc_ts").filter(F.col("url").startswith("https://big"))
+    assert_column_never_scanned(q2, "html")
+    assert_column_never_scanned(q2, "text")
+
+
+def test_lang_filter_pushed_to_parquet(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    q = pages.filter(F.col("lang") == "en").select("url")
+    assert_filter_pushed(q, "lang")
+
+
+def test_broadcast_join_for_small_dims(spark):
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    q = customer.join(F.broadcast(nation),
+                      customer.c_nationkey == nation.n_nationkey).groupBy(
+        "n_name").count()
+    assert_broadcast_join(q)
+
+
+def test_fetch_join_scans_only_needed_columns(spark, pages_parquet):
+    """The crawl's fetch join must not read `text`/`lang` (it parses html)."""
+    pages = spark.read.parquet(pages_parquet)
+    elected = spark.createDataFrame([("https://big.example.com/p/0.html",)], "url string")
+    matched = pages.select("url", "warc_ts", "html").join(F.broadcast(elected), "url")
+    latest = matched.groupBy("url").agg(F.max_by("html", "warc_ts").alias("html"))
+    for schema in scan_read_schemas(latest):
+        assert "text:" not in schema and "lang:" not in schema
+    assert_broadcast_join(latest)
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    from sitecheck_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = exact_dedup(docs)
+    # partial aggregation upstream, exactly one hash exchange
+    assert count_shuffles(q) == 1
+    plan = formatted_plan(q)
+    assert "partial_min" in plan and "partial_count" in plan
