@@ -103,6 +103,7 @@ def bench_crawl(spark: SparkSession, n_pages: int, max_waves: int) -> dict:
     n_urls = res.fetch_log.count()
     n_findings = res.findings.count()
     secs = time.time() - t0
+    res.release()
     return {
         "corpus_gen_sec": gen_sec,
         "crawl_sec": round(secs, 2),

@@ -57,7 +57,7 @@ from sitecheck_spark.checkers import (
 from sitecheck_spark.extract import PARSED_SCHEMA, parse_pages_batch
 from sitecheck_spark.functions.urls import canonicalize, netloc_of
 from sitecheck_spark.golden import IGNORED_EXTENSIONS
-from sitecheck_spark.seen import BloomShard
+from sitecheck_spark.seen import BloomShard, CuckooShard
 from sitecheck_spark.sources.catalog import WaveCatalog
 
 
@@ -70,8 +70,10 @@ class CrawlConfig:
     n_shards: int = 32
     salt_buckets: int = 8
     use_bloom: bool = True
+    filter_kind: str = "bloom"         # 'bloom' | 'cuckoo' (cuckoo: deletable)
     bloom_bits: int = 1 << 17          # per shard; multiple of 8
     bloom_hashes: int = 7
+    cuckoo_buckets: int = 1 << 13      # per shard; power of two, 4 slots each
     checkpoint_dir: str | None = None  # enables resumable mode (catalog.py)
     run_checkers: bool = True
     verbose: bool = False
@@ -80,6 +82,11 @@ class CrawlConfig:
     # on clusters where budget*hosts exceeds broadcast limits — there the
     # shuffle join is co-located by the pages table's url bucketing anyway.
     broadcast_fetch: bool = True
+    # Partitions for the vectorized parse pass. AQE coalesces exchanges by
+    # shuffle BYTES, which starves the downstream Python stage of
+    # parallelism (a 200 MB wave coalesces to ~4 tasks on a 32-core
+    # cluster). None -> 2 * defaultParallelism.
+    parse_partitions: int | None = None
 
 
 @dataclass
@@ -89,6 +96,19 @@ class CrawlResult:
     seen: DataFrame          # (url, url_hash, shard)
     waves: int = 0
     metrics: list[dict] = field(default_factory=list)
+    shards: DataFrame | None = None
+    _cached: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        """Unpersist every RDD this crawl left cached (final state + wave
+        deltas). Call when done with the result — repeated crawls in one
+        session otherwise accumulate cached blocks and degrade."""
+        for df in self._cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._cached.clear()
 
 
 FINDINGS_SCHEMA = "module string, url string, wave int, detail string, referrer string"
@@ -198,6 +218,17 @@ def _robots_gate_fn(passthrough_cols: list[str]):
 
 # --- bloom shard cogroup functions (module-level: must be picklable) -------
 
+def _new_filter(cfg: "CrawlConfig"):
+    if cfg.filter_kind == "cuckoo":
+        return CuckooShard(cfg.cuckoo_buckets)
+    return BloomShard(cfg.bloom_bits, cfg.bloom_hashes)
+
+
+def _filter_from_bytes(raw: bytes):
+    return CuckooShard.from_bytes(raw) if raw[:4] == CuckooShard.HEADER \
+        else BloomShard.from_bytes(raw)
+
+
 _CAND_COLS = ["url", "netloc", "depth", "priority", "referrer", "url_hash", "shard"]
 _FUSED_SCHEMA = (
     "kind int, url string, netloc string, depth int, priority double, "
@@ -206,7 +237,7 @@ _FUSED_SCHEMA = (
 )
 
 
-def _make_probe_merge_fn(n_bits: int, n_hashes: int):
+def _make_probe_merge_fn(cfg: "CrawlConfig"):
     """ONE cogroup per wave doing both bloom probe and bloom update.
 
     Sound because the seen set grows by exactly this wave's candidate set:
@@ -217,10 +248,10 @@ def _make_probe_merge_fn(n_bits: int, n_hashes: int):
 
     def fn(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(shard_pdf):
-            bloom = BloomShard.from_bytes(bytes(shard_pdf["bits"].iloc[0]))
+            bloom = _filter_from_bytes(bytes(shard_pdf["bits"].iloc[0]))
             n_items = int(shard_pdf["n_items"].iloc[0])
         else:
-            bloom = BloomShard(n_bits, n_hashes)
+            bloom = _new_filter(cfg)
             n_items = 0
         parts = []
         if len(cand_pdf):
@@ -228,7 +259,10 @@ def _make_probe_merge_fn(n_bits: int, n_hashes: int):
             out = cand_pdf[_CAND_COLS].copy()
             out["kind"] = 0
             out["maybe_seen"] = bloom.contains(hashes)
-            bloom.add(hashes)
+            if isinstance(bloom, CuckooShard):
+                bloom.insert(hashes)  # flips to saturated (all-True) on overflow
+            else:
+                bloom.add(hashes)
             n_items += int(len(cand_pdf))
             out["bits"] = None
             out["n_items"] = 0
@@ -249,16 +283,20 @@ def _make_probe_merge_fn(n_bits: int, n_hashes: int):
     return fn
 
 
-def _make_merge_fn(n_bits: int, n_hashes: int):
+def _make_merge_fn(cfg: "CrawlConfig"):
     def merge(key: tuple, new_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(shard_pdf):
-            bloom = BloomShard.from_bytes(bytes(shard_pdf["bits"].iloc[0]))
+            bloom = _filter_from_bytes(bytes(shard_pdf["bits"].iloc[0]))
             n_items = int(shard_pdf["n_items"].iloc[0])
         else:
-            bloom = BloomShard(n_bits, n_hashes)
+            bloom = _new_filter(cfg)
             n_items = 0
         if len(new_pdf):
-            bloom.add(new_pdf["url_hash"].to_numpy())
+            hashes = new_pdf["url_hash"].to_numpy()
+            if isinstance(bloom, CuckooShard):
+                bloom.insert(hashes)
+            else:
+                bloom.add(hashes)
             n_items += len(new_pdf)
         return pd.DataFrame(
             {"shard": [int(key[0])], "bits": [bloom.to_bytes()], "n_items": [n_items]}
@@ -365,7 +403,14 @@ def crawl(
         wave_logs: list[DataFrame] = []
         wave_findings: list[DataFrame] = list(pending_findings)
         pending_findings = []
+        # Persist both election outputs: they feed several downstream jobs
+        # (broadcast of elected urls, the fetch join, the 404 split, next
+        # frontier) which would otherwise each recompute the window chain —
+        # the profiler showed half the wave's CPU inside broadcast-exchange
+        # recomputations before this.
         elected, remainder = _elect(frontier, budgets, cfg)
+        elected = elected.persist()
+        remainder = remainder.persist()
 
         elected_urls = elected.select("url")
         if cfg.broadcast_fetch:
@@ -392,8 +437,10 @@ def crawl(
             )
         )
 
+        n_parse = cfg.parse_partitions or 2 * spark.sparkContext.defaultParallelism
         parsed = (
             fetched.filter(F.col("html").isNotNull())
+            .repartition(n_parse)  # parse parallelism ∝ cores, not bytes
             .select("url", "netloc", F.lit(wave).alias("wave"), "depth",
                     "priority", "referrer", "html")
             .mapInPandas(parse_pages_batch, PARSED_SCHEMA)
@@ -446,35 +493,48 @@ def crawl(
             )
         )
 
+        # One job forces the whole heavy chain (elect -> fetch -> parse ->
+        # candidates -> probe -> gate) into the wave's caches...
         t0 = time.time()
+        gated.count()
+        t_chain = time.time() - t0
+
+        # ...then the five independent state/delta materializations read
+        # those caches CONCURRENTLY. Sequentially they cost sum(latencies)
+        # of mostly-idle barrier time per wave; in parallel, max(latencies).
         new_frontier_rows = gated.filter("robots_allowed").select(*frontier_cols)
-        frontier = remainder.select(*frontier_cols).unionByName(new_frontier_rows)
-        frontier = frontier.localCheckpoint(eager=True)
-        t_frontier = time.time() - t0
-
-        t0 = time.time()
+        frontier_next = remainder.select(*frontier_cols).unionByName(new_frontier_rows)
         new_seen = gated.select("url", "url_hash", "shard")
-        seen = seen.unionByName(new_seen).localCheckpoint(eager=True)
-        t_seen = time.time() - t0
-        t0 = time.time()
-        if cfg.use_bloom:
-            shards = new_shards if new_shards is not None else _merge_shards(
-                spark, new_seen, shards, cfg
-            )
-        t_shards = time.time() - t0
-
-        t0 = time.time()
+        seen_next = seen.unionByName(new_seen)
         log_delta = _union_all(wave_logs, empty_log)
         findings_delta = _union_all(wave_findings, empty_findings)
-        if catalog is None:
-            # Materialize the small per-wave deltas now, while `parsed` is
-            # still cached — otherwise collecting the final fetch_log would
-            # re-run every wave's parse pass.
-            log_delta = log_delta.localCheckpoint(eager=True)
-            findings_delta = findings_delta.localCheckpoint(eager=True)
+
+        t0 = time.time()
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _ckpt(df):
+            return df.localCheckpoint(eager=True)
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_frontier = pool.submit(_ckpt, frontier_next)
+            f_seen = pool.submit(_ckpt, seen_next)
+            f_shards = (
+                pool.submit(_ckpt, new_shards) if new_shards is not None else None
+            )
+            f_log = pool.submit(_ckpt, log_delta)
+            f_findings = pool.submit(_ckpt, findings_delta)
+            frontier = f_frontier.result()
+            seen = f_seen.result()
+            log_delta = f_log.result()
+            findings_delta = f_findings.result()
+            if f_shards is not None:
+                shards = f_shards.result()
+            elif cfg.use_bloom:
+                shards = _merge_shards(spark, new_seen, shards, cfg)
+        t_state = time.time() - t0
+
         fetch_logs.append(log_delta)
         findings.append(findings_delta)
-        t_deltas = time.time() - t0
 
         t0 = time.time()
         n_frontier = frontier.count()
@@ -501,6 +561,8 @@ def crawl(
                         "max_depth": cfg.max_depth, "seeds": seed_canon},
             )
 
+        elected.unpersist()
+        remainder.unpersist()
         fetched.unpersist()
         parsed.unpersist()
         gated.unpersist()
@@ -509,8 +571,7 @@ def crawl(
         if cfg.verbose:
             print(f"[crawl] wave={wave} next_frontier={n_frontier} "
                   f"wall={time.time()-t_wave:.2f}s "
-                  f"(frontier={t_frontier:.1f} seen={t_seen:.1f} "
-                  f"shards={t_shards:.1f} deltas={t_deltas:.1f} "
+                  f"(chain={t_chain:.1f} state={t_state:.1f} "
                   f"count={t_count:.1f})", flush=True)
         end_wave = wave + 1
         wave += 1
@@ -528,9 +589,12 @@ def crawl(
     else:
         fetch_log = _union_all(fetch_logs, empty_log)
         findings_df = _union_all(findings, empty_findings)
+    cached = [*fetch_logs, *findings, seen, frontier]
+    if shards is not None:
+        cached.append(shards)
     return CrawlResult(
         fetch_log=fetch_log, findings=findings_df, seen=seen, waves=end_wave,
-        metrics=metrics,
+        metrics=metrics, shards=shards, _cached=cached,
     )
 
 
@@ -542,32 +606,45 @@ def _union_all(dfs: list[DataFrame], empty: DataFrame) -> DataFrame:
 
 
 def _elect(frontier: DataFrame, budgets: DataFrame, cfg: CrawlConfig):
-    """Two-phase salted per-netloc top-budget election (W1/W2/J5).
+    """Per-netloc top-budget election (W1/W2/J5), skew-proof.
 
-    Exact: any row in a netloc's global top-B is in the top-B of its salt
-    bucket, so phase 1 (partitioned by (netloc, salt)) never cuts a winner,
-    and phase 2 ranks at most B*salt_buckets rows per netloc.
+    Fast path first: hosts whose pending count fits their budget are elected
+    wholesale — no sort, no window. Only over-budget hosts enter the ranking
+    path, which is two-phase salted: phase 1 ranks within (netloc, salt) so
+    one skew host cannot pin a single reducer; phase 2 ranks the <=
+    B*salt_buckets survivors per netloc. Exact: any row in a netloc's global
+    top-B is in the top-B of its salt bucket, so phase 1 never cuts a winner.
+    Without the fast path, a host with pending >> budget=∞ (throughput mode)
+    or simply 50% of the frontier would serialize the whole wave through one
+    window task.
     """
     fr = frontier.join(budgets, "netloc", "left").withColumn(
         "budget", F.coalesce("budget", F.lit(cfg.budget_per_host))
     )
-    fr = fr.withColumn(
+    host_counts = frontier.groupBy("netloc").agg(F.count("*").alias("n_pending"))
+    fr = fr.join(host_counts, "netloc")
+    under = fr.filter(F.col("n_pending") <= F.col("budget"))
+    over = fr.filter(F.col("n_pending") > F.col("budget"))
+
+    elected_fast = under.drop("budget", "n_pending")
+
+    over = over.withColumn(
         "salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int")
     )
     w1 = Window.partitionBy("netloc", "salt").orderBy("priority", "url")
-    fr = fr.withColumn("rk1", F.row_number().over(w1))
-    surv = fr.filter(F.col("rk1") <= F.col("budget"))
-    spill0 = fr.filter(F.col("rk1") > F.col("budget"))
+    over = over.withColumn("rk1", F.row_number().over(w1))
+    surv = over.filter(F.col("rk1") <= F.col("budget"))
+    spill0 = over.filter(F.col("rk1") > F.col("budget"))
     w2 = Window.partitionBy("netloc").orderBy("priority", "url")
     surv = surv.withColumn("rk2", F.row_number().over(w2))
-    elected = surv.filter(F.col("rk2") <= F.col("budget")).drop(
-        "budget", "salt", "rk1", "rk2"
+    elected_ranked = surv.filter(F.col("rk2") <= F.col("budget")).drop(
+        "budget", "n_pending", "salt", "rk1", "rk2"
     )
     spill1 = surv.filter(F.col("rk2") > F.col("budget"))
-    remainder = spill0.drop("budget", "salt", "rk1").unionByName(
-        spill1.drop("budget", "salt", "rk1", "rk2")
+    remainder = spill0.drop("budget", "n_pending", "salt", "rk1").unionByName(
+        spill1.drop("budget", "n_pending", "salt", "rk1", "rk2")
     )
-    return elected, remainder
+    return elected_fast.unionByName(elected_ranked), remainder
 
 
 def _robots_gate(df: DataFrame, rules: DataFrame, passthrough: list[str]) -> DataFrame:
@@ -611,16 +688,10 @@ def _probe_and_absorb(
     fused = (
         cand.groupby("shard")
         .cogroup(shards.select("shard", "bits", "n_items").groupby("shard"))
-        .applyInPandas(
-            _make_probe_merge_fn(cfg.bloom_bits, cfg.bloom_hashes), _FUSED_SCHEMA
-        )
+        .applyInPandas(_make_probe_merge_fn(cfg), _FUSED_SCHEMA)
         .persist()
     )
-    new_shards = (
-        fused.filter(F.col("kind") == 1)
-        .select("shard", "bits", "n_items")
-        .localCheckpoint(eager=True)
-    )
+    new_shards = fused.filter(F.col("kind") == 1).select("shard", "bits", "n_items")
     probed = fused.filter(F.col("kind") == 0).select(*_CAND_COLS, "maybe_seen")
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -637,7 +708,7 @@ def _merge_shards(
         new_seen.select("shard", "url_hash")
         .groupby("shard")
         .cogroup(shards.groupby("shard"))
-        .applyInPandas(_make_merge_fn(cfg.bloom_bits, cfg.bloom_hashes), _SHARDS_SCHEMA)
+        .applyInPandas(_make_merge_fn(cfg), _SHARDS_SCHEMA)
     )
     return merged.localCheckpoint(eager=True)
 
@@ -670,3 +741,52 @@ def _run_checkers(parsed: DataFrame, dictionary: DataFrame | None) -> list[DataF
         )
     )
     return out
+
+
+_FORGET_SCHEMA = _SHARDS_SCHEMA
+
+
+def _make_forget_fn():
+    def fn(key, del_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(shard_pdf):
+            return pd.DataFrame({"shard": [], "bits": [], "n_items": []})
+        filt = _filter_from_bytes(bytes(shard_pdf["bits"].iloc[0]))
+        n_items = int(shard_pdf["n_items"].iloc[0])
+        if len(del_pdf):
+            if not isinstance(filt, CuckooShard):
+                raise ValueError(
+                    "forget_urls requires filter_kind='cuckoo' (bloom filters "
+                    "cannot delete; re-crawl by rebuilding the seen set)"
+                )
+            removed = filt.delete(del_pdf["url_hash"].to_numpy())
+            n_items -= int(removed.sum())
+        return pd.DataFrame(
+            {"shard": [int(key[0])], "bits": [filt.to_bytes()], "n_items": [n_items]}
+        )
+
+    return fn
+
+
+def forget_urls(
+    seen: DataFrame, shards: DataFrame | None, urls: list[str], cfg: CrawlConfig
+) -> tuple[DataFrame, DataFrame | None]:
+    """Re-crawl support: remove urls from the exact seen set and (cuckoo
+    filters only) from the probabilistic shards, so a subsequent crawl
+    fetches them again. Returns the updated (seen, shards)."""
+    spark = seen.sparkSession
+    canon = sorted({u for u in (canonicalize(u) for u in urls) if u})
+    to_del = _with_identity(
+        spark.createDataFrame([(u,) for u in canon], "url string"), cfg.n_shards
+    )
+    new_seen = seen.join(to_del.select("url"), "url", "left_anti")
+    new_seen = new_seen.localCheckpoint(eager=True)
+    if shards is None:
+        return new_seen, None
+    new_shards = (
+        to_del.select("shard", "url_hash")
+        .groupby("shard")
+        .cogroup(shards.groupby("shard"))
+        .applyInPandas(_make_forget_fn(), _FORGET_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+    return new_seen, new_shards

@@ -112,7 +112,8 @@ class CuckooShard:
     SLOTS = 4
     MAX_KICKS = 500
 
-    def __init__(self, n_buckets: int, table: np.ndarray | None = None):
+    def __init__(self, n_buckets: int, table: np.ndarray | None = None,
+                 saturated: bool = False):
         # power-of-two bucket count so XOR stays in range
         if n_buckets & (n_buckets - 1):
             raise ValueError("n_buckets must be a power of two")
@@ -120,6 +121,11 @@ class CuckooShard:
         self.table = (
             table if table is not None else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
         )
+        # Saturation fallback: a failed insert would create a false negative
+        # (an item the filter forgot), which for a seen-filter means
+        # re-crawling. Once saturated, contains() answers all-True so every
+        # probe degrades to the exact anti-join — slower, never wrong.
+        self.saturated = saturated
 
     @classmethod
     def sized_for(cls, n_items: int) -> "CuckooShard":
@@ -160,6 +166,8 @@ class CuckooShard:
                     placed = True
                     break
             ok[i] = placed
+        if not ok.all():
+            self.saturated = True
         return ok
 
     def _try_put(self, bucket: int, fp: int) -> bool:
@@ -172,6 +180,8 @@ class CuckooShard:
 
     def contains(self, hashes) -> np.ndarray:
         fps, b1s, b2s = self._fp_and_buckets(hashes)
+        if self.saturated:
+            return np.ones(len(fps), dtype=bool)
         in1 = (self.table[b1s] == fps[:, None]).any(axis=1)
         in2 = (self.table[b2s] == fps[:, None]).any(axis=1)
         return in1 | in2
@@ -189,12 +199,14 @@ class CuckooShard:
         return removed
 
     def to_bytes(self) -> bytes:
-        return self.HEADER + self.n_buckets.to_bytes(8, "little") + self.table.tobytes()
+        return (self.HEADER + self.n_buckets.to_bytes(8, "little")
+                + bytes([1 if self.saturated else 0]) + self.table.tobytes())
 
     @classmethod
     def from_bytes(cls, raw: bytes) -> "CuckooShard":
         if raw[:4] != cls.HEADER:
             raise ValueError("not a CuckooShard blob")
         n_buckets = int.from_bytes(raw[4:12], "little")
-        table = np.frombuffer(raw[12:], dtype=np.uint16).reshape(n_buckets, cls.SLOTS).copy()
-        return cls(n_buckets, table)
+        saturated = bool(raw[12])
+        table = np.frombuffer(raw[13:], dtype=np.uint16).reshape(n_buckets, cls.SLOTS).copy()
+        return cls(n_buckets, table, saturated)

@@ -113,6 +113,9 @@ DEFAULT_PROFILE = {"min_words": 30, "max_words": 120, "min_links": 2, "max_links
 # heavier pages for throughput benches: more text to parse, more links to
 # canonicalize/dedupe per wave
 HEAVY_PROFILE = {"min_words": 300, "max_words": 900, "min_links": 8, "max_links": 16}
+# scaling-evidence corpus: pages heavy enough that the vectorized parse pass
+# (real per-page work) dominates fixed per-wave costs
+XHEAVY_PROFILE = {"min_words": 1200, "max_words": 2600, "min_links": 15, "max_links": 25}
 
 
 def _page_html(seed: int, host: str, idx: int, n_host_pages: int, version: int,
