@@ -42,6 +42,27 @@ def doc_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per doc — the right MinHash unit for text:
+    unigram signatures collide pathologically on small vocabularies, while
+    shingle space grows as vocab**n. 1-based element_at matches the SQL
+    oracle's t[i] indexing exactly."""
+    t = words_col("text")
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    shingles = F.when(
+        F.size(t) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("token")
+    )
+
+
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                   max_token_freq: int | None = None) -> DataFrame:
     """Token-set Jaccard similarity pairs (doc_a < doc_b, jac >= threshold)."""
@@ -72,9 +93,11 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, seed, sig) with sig = min(md5(seed || ':' || token))."""
-    toks = doc_tokens(docs)
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH,
+                       shingle: int | None = 3) -> DataFrame:
+    """(doc_id, seed, sig) with sig = min(md5(seed || ':' || unit)), unit =
+    n-word shingle (default) or unigram token (shingle=None)."""
+    toks = doc_shingles(docs, shingle) if shingle else doc_tokens(docs)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
     return (
         toks.select("doc_id", "token", seeds)
@@ -84,9 +107,10 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
-                      band_size: int = LSH_BAND_SIZE) -> DataFrame:
+                      band_size: int = LSH_BAND_SIZE,
+                      shingle: int | None = 3) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any full LSH band bucket."""
-    sigs = minhash_signatures(docs, n_hashes)
+    sigs = minhash_signatures(docs, n_hashes, shingle)
     bands = (
         sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")

@@ -741,10 +741,15 @@ def q_dedup_jaccard(spark, sf_dir):
 
 @query(
     "q_dedup_minhash_lsh",
-    """WITH toks AS (
-         SELECT DISTINCT doc_id,
-                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+    """WITH w AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
          FROM documents),
+       toks AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(
+                    generate_series(1, greatest(0, len(t) - 2)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS token
+         FROM w),
        sigs AS (
          SELECT doc_id, seed, min(md5(seed || ':' || token)) AS sig
          FROM toks, range(8) r(seed) GROUP BY doc_id, seed),
