@@ -6,14 +6,21 @@ Ships to a cluster as:
     spark-submit --py-files dist/sitecheck_spark.zip jobs/crawl_job.py \\
         --pages s3://bucket/pages/ \\
         --seeds https://example.com/ \\
-        --out   s3://bucket/crawl-out/ \\
-        --checkpoint-dir s3://bucket/crawl-ckpt/ \\
+        --out   /mnt/shared/crawl-out/ \\
+        --checkpoint-dir /mnt/shared/crawl-ckpt/ \\
         --budget 100 --max-waves 20
 
 On a cluster the SparkSession comes from spark-submit's conf (`--master`,
 executors, memory); this script only builds the session when run standalone.
 A killed job rerun with the same --checkpoint-dir resumes exactly from the
 last committed wave (sitecheck_spark/sources/catalog.py).
+
+PATH RESTRICTIONS: --pages may be any Spark-readable URI (s3://, hdfs://,
+file:). --out and --checkpoint-dir must be LOCAL/POSIX paths visible to the
+driver (local disk or NFS): the wave catalog's atomic-rename commit protocol
+and the report summary use os.rename/open, which do not speak object-store
+URIs. Object-store checkpointing is exactly the seam the Iceberg catalog
+fills when its runtime jar is available (sources/catalog.py docstring).
 """
 
 from __future__ import annotations

@@ -113,15 +113,21 @@ class CrawlResult:
 
 FINDINGS_SCHEMA = "module string, url string, wave int, detail string, referrer string"
 _EXT_PATTERN = "(?i)(?:" + "|".join(re.escape(e) for e in IGNORED_EXTENSIONS) + ")$"
+_ISIN_MAX_NETLOCS = 64  # above this, the allow-list joins instead of inlining
 
 
 def latest_pages(pages: DataFrame) -> DataFrame:
     """As-of pick of the newest warc_ts version per url (W3).
 
     max_by instead of a window: one partial-aggregating shuffle, no sort —
-    the right plan when versions-per-url is small and urls are many.
+    the right plan when versions-per-url is small and urls are many. The
+    tie-break is TOTAL — max over (warc_ts, md5(html)) — so a corpus with
+    duplicate (url, warc_ts) rows and differing html still yields a
+    deterministic pick (golden.py applies the identical rule).
     """
-    return pages.groupBy("url").agg(F.max_by("html", "warc_ts").alias("html"))
+    return pages.groupBy("url").agg(
+        F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")
+    )
 
 
 def robots_from_pages(pages: DataFrame) -> DataFrame:
@@ -129,7 +135,7 @@ def robots_from_pages(pages: DataFrame) -> DataFrame:
     return (
         pages.filter(F.col("url").endswith("/robots.txt"))
         .groupBy(F.parse_url("url", F.lit("HOST")).alias("netloc"))
-        .agg(F.max_by("text", "warc_ts").alias("rules"))
+        .agg(F.max_by("text", F.struct("warc_ts", F.md5("text"))).alias("rules"))
     )
 
 
@@ -160,10 +166,10 @@ def _compile_rules_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataF
 
     Uses urllib.robotparser's own parsed entries so semantics (first matching
     rule in file order wins, empty-Disallow -> allow) are exactly its
-    semantics; the per-wave gate then becomes a pure JVM prefix join instead
-    of a Python pass per wave. Limitation vs robotparser: candidate paths are
-    matched as-is (already percent-normalized by canonicalize), not re-quoted
-    with quote(path, safe='/') — identical for standard ASCII paths.
+    semantics: RuleLine.path is already robotparser-quoted, and the gate
+    matches it against robots.match_path(url) — the byte-identical string
+    can_fetch itself uses — so the JVM prefix join reproduces robotparser
+    verdicts exactly (tests/test_robots.py::test_gate_matches_robotparser).
     """
     for pdf in batches:
         rows = []
@@ -241,9 +247,13 @@ def _make_probe_merge_fn(cfg: "CrawlConfig"):
     """ONE cogroup per wave doing both bloom probe and bloom update.
 
     Sound because the seen set grows by exactly this wave's candidate set:
-    every candidate is marked seen this wave (enqueued or robots-blocked),
-    and re-adding an already-seen hash is a bloom no-op. Probing happens
-    before adding, so same-wave flags are unaffected.
+    every candidate is marked seen this wave (enqueued or robots-blocked).
+    Probing happens before adding, so same-wave flags are unaffected. Only
+    filter-NEGATIVE hashes are inserted: re-adding a positive is a no-op
+    for bloom but NOT for cuckoo (duplicate fingerprints eat slots until
+    premature saturation — cycle links recur every wave), and skipping a
+    false-positive new URL stays exact because probe-positives always fall
+    through to the exact anti-join.
     """
 
     def fn(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -257,13 +267,15 @@ def _make_probe_merge_fn(cfg: "CrawlConfig"):
         if len(cand_pdf):
             hashes = cand_pdf["url_hash"].to_numpy()
             out = cand_pdf[_CAND_COLS].copy()
+            maybe_seen = bloom.contains(hashes)
             out["kind"] = 0
-            out["maybe_seen"] = bloom.contains(hashes)
+            out["maybe_seen"] = maybe_seen
+            fresh = hashes[~maybe_seen]
             if isinstance(bloom, CuckooShard):
-                bloom.insert(hashes)  # flips to saturated (all-True) on overflow
+                bloom.insert(fresh)  # flips to saturated (all-True) on overflow
             else:
-                bloom.add(hashes)
-            n_items += int(len(cand_pdf))
+                bloom.add(fresh)
+            n_items += int(len(fresh))
             out["bits"] = None
             out["n_items"] = 0
             parts.append(out)
@@ -330,6 +342,14 @@ def crawl(
         seed_urls = list(seeds)
     seed_canon = sorted({u for u in (canonicalize(s) for s in seed_urls) if u})
     allowed = cfg.allowed_netlocs or sorted({netloc_of(u) for u in seed_canon})
+    # Small allow-lists inline as an `isin` literal (codegen-friendly); an
+    # open-web crawl with 10^5+ allowed hosts would bloat every wave's plan
+    # with a giant literal, so large lists become a broadcast semi-join.
+    allowed_df = None
+    if len(allowed) > _ISIN_MAX_NETLOCS:
+        allowed_df = F.broadcast(
+            spark.createDataFrame([(n,) for n in allowed], "netloc string")
+        )
 
     # Fetch source: version dedup (as-of max warc_ts) happens per wave on the
     # *matched* rows only — joining first and deduping after means the big
@@ -417,7 +437,8 @@ def crawl(
             elected_urls = F.broadcast(elected_urls)
         matched = pages_slim.join(elected_urls, "url")
         latest_rows = matched.groupBy("url").agg(
-            F.max_by("html", "warc_ts").alias("html")
+            # total tie-break on (warc_ts, md5(html)) — see latest_pages()
+            F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")
         )
         # One corpus scan+join per wave: everything downstream (404 split,
         # parse, fetch-log delta) reads this cache, not the parquet again.
@@ -465,8 +486,14 @@ def crawl(
             .withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("")))
             .filter(~F.lower("path").rlike(_EXT_PATTERN))
             .withColumn("netloc", F.parse_url("url", F.lit("HOST")))
-            .filter(F.col("netloc").isin(allowed))
-            .groupBy("url", "netloc")
+        )
+        cand = (
+            cand.join(allowed_df, "netloc", "left_semi")
+            if allowed_df is not None
+            else cand.filter(F.col("netloc").isin(allowed))
+        )
+        cand = (
+            cand.groupBy("url", "netloc")
             .agg(F.min(F.struct("depth", "referrer")).alias("m"))
             .select(
                 "url", "netloc", F.col("m.depth").alias("depth"),
@@ -647,20 +674,35 @@ def _elect(frontier: DataFrame, budgets: DataFrame, cfg: CrawlConfig):
     return elected_fast.unionByName(elected_ranked), remainder
 
 
+def _match_path_fn(cols: list[str]):
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out["_path"] = [robots_mod.match_path(u) for u in pdf["url"]]
+            yield out
+
+    return fn
+
+
 def _robots_gate(df: DataFrame, rules: DataFrame, passthrough: list[str]) -> DataFrame:
-    """R1 gate, pure JVM: join pre-compiled prefix rules on netloc, first
-    matching rule in file order decides; no rule -> allow. One shuffle
-    (the groupBy), zero Python. Catalyst broadcasts `rules` when small;
-    at web scale it shuffle-joins on netloc."""
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    """R1 gate: join pre-compiled prefix rules on netloc, first matching
+    rule in file order decides; no rule -> allow. The match string is
+    robotparser's own (robots.match_path, computed in ONE vectorized pass —
+    each url is gated exactly once in its lifetime, so this is a one-shot
+    Arrow round-trip per url, not per wave); the prefix join + first-match
+    election stay pure JVM. Catalyst broadcasts `rules` when small; at web
+    scale it shuffle-joins on netloc."""
     hit = (
         F.col("prefix").isNotNull()
         & ((F.col("prefix") == "") | (F.col("prefix") == "*")
            | F.col("_path").startswith(F.col("prefix")))
     )
     first_rule = F.min(F.when(hit, F.struct(F.col("seq"), F.col("allow"))))
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.select(*passthrough).schema
+    ) + ", _path string"
     return (
-        df.withColumn("_path", path)
+        df.mapInPandas(_match_path_fn(list(passthrough)), schema)
         .join(rules, "netloc", "left")
         .groupBy(*passthrough)
         .agg(F.coalesce(first_rule["allow"], F.lit(True)).alias("robots_allowed"))
@@ -743,23 +785,19 @@ def _run_checkers(parsed: DataFrame, dictionary: DataFrame | None) -> list[DataF
     return out
 
 
-_FORGET_SCHEMA = _SHARDS_SCHEMA
+def _make_rebuild_fn(cfg: "CrawlConfig"):
+    """Rebuild one shard's filter from scratch out of its exact seen hashes."""
 
-
-def _make_forget_fn():
-    def fn(key, del_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(shard_pdf):
-            return pd.DataFrame({"shard": [], "bits": [], "n_items": []})
-        filt = _filter_from_bytes(bytes(shard_pdf["bits"].iloc[0]))
-        n_items = int(shard_pdf["n_items"].iloc[0])
-        if len(del_pdf):
-            if not isinstance(filt, CuckooShard):
-                raise ValueError(
-                    "forget_urls requires filter_kind='cuckoo' (bloom filters "
-                    "cannot delete; re-crawl by rebuilding the seen set)"
-                )
-            removed = filt.delete(del_pdf["url_hash"].to_numpy())
-            n_items -= int(removed.sum())
+    def fn(key, seen_pdf: pd.DataFrame, _marker_pdf: pd.DataFrame) -> pd.DataFrame:
+        filt = _new_filter(cfg)
+        n_items = 0
+        if len(seen_pdf):
+            hashes = seen_pdf["url_hash"].to_numpy()
+            if isinstance(filt, CuckooShard):
+                filt.insert(hashes)
+            else:
+                filt.add(hashes)
+            n_items = int(len(seen_pdf))
         return pd.DataFrame(
             {"shard": [int(key[0])], "bits": [filt.to_bytes()], "n_items": [n_items]}
         )
@@ -770,9 +808,14 @@ def _make_forget_fn():
 def forget_urls(
     seen: DataFrame, shards: DataFrame | None, urls: list[str], cfg: CrawlConfig
 ) -> tuple[DataFrame, DataFrame | None]:
-    """Re-crawl support: remove urls from the exact seen set and (cuckoo
-    filters only) from the probabilistic shards, so a subsequent crawl
-    fetches them again. Returns the updated (seen, shards)."""
+    """Re-crawl support: remove urls from the exact seen set and REBUILD the
+    affected probabilistic shards from the remaining exact seen hashes, so a
+    subsequent crawl fetches them again. Rebuilding (vs cuckoo delete) is the
+    only sound path: a 16-bit cuckoo fingerprint collision would let delete()
+    remove a copy belonging to a *different* retained URL, creating a false
+    negative that skips the exact anti-join and duplicates that URL in seen.
+    Rebuild also makes bloom shards (which cannot delete) forgettable.
+    Unaffected shards pass through untouched. Returns (seen, shards)."""
     spark = seen.sparkSession
     canon = sorted({u for u in (canonicalize(u) for u in urls) if u})
     to_del = _with_identity(
@@ -782,11 +825,16 @@ def forget_urls(
     new_seen = new_seen.localCheckpoint(eager=True)
     if shards is None:
         return new_seen, None
-    new_shards = (
-        to_del.select("shard", "url_hash")
+    affected = to_del.select("shard").distinct()
+    kept = shards.join(affected, "shard", "left_anti")
+    rebuilt = (
+        new_seen.join(affected, "shard", "left_semi")
+        .select("shard", "url_hash")
         .groupby("shard")
-        .cogroup(shards.groupby("shard"))
-        .applyInPandas(_make_forget_fn(), _FORGET_SCHEMA)
-        .localCheckpoint(eager=True)
+        # cogroup against the affected-shard markers so a shard whose entire
+        # seen set was forgotten still re-emits an (empty) filter row
+        .cogroup(affected.groupby("shard"))
+        .applyInPandas(_make_rebuild_fn(cfg), _SHARDS_SCHEMA)
     )
+    new_shards = kept.unionByName(rebuilt).localCheckpoint(eager=True)
     return new_seen, new_shards

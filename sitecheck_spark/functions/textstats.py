@@ -28,11 +28,8 @@ def words_col(text: Column | str) -> Column:
 
 
 def _count_in(text: Column, words: list[str]) -> Column:
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     c = F.lit(0)
     for w in words:
-        # occurrences of " w " = (len - len(replace)) / len(" w ")... avoid FP:
-        # use array filter over tokens instead
         c = c + F.size(F.filter(words_col(text), lambda t: t == F.lit(w)))
     return c
 

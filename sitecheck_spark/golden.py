@@ -78,11 +78,16 @@ def golden_crawl(
     allowed_netlocs: set[str] | None = None,
 ) -> GoldenResult:
     """pages_rows: (url, warc_ts, html, text, lang) tuples (any order)."""
+    import hashlib
+
+    # Total as-of order: max (warc_ts, md5(html)) per url — input-order
+    # independent, identical rule to crawl.latest_pages().
     latest: dict[str, bytes] = {}
-    latest_ts: dict[str, object] = {}
+    latest_key: dict[str, tuple] = {}
     for url, warc_ts, html, _text, _lang in pages_rows:
-        if url not in latest_ts or warc_ts > latest_ts[url]:
-            latest_ts[url] = warc_ts
+        key = (warc_ts, hashlib.md5(html).hexdigest())
+        if url not in latest_key or key > latest_key[url]:
+            latest_key[url] = key
             latest[url] = html
 
     res = GoldenResult()

@@ -268,7 +268,10 @@ def q_except(spark, sf_dir):
     a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
     b = (_t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
          .select(F.col("o_custkey").alias("id")))
-    return a.exceptAll(b).distinct()
+    # subtract = true EXCEPT DISTINCT. exceptAll().distinct() is NOT: when
+    # `a` holds duplicates of a value also in `b`, exceptAll subtracts
+    # counts and distinct resurrects the value (tests/test_operators.py).
+    return a.subtract(b)
 
 
 @query(

@@ -11,12 +11,31 @@ politeness window's netloc shuffle otherwise).
 from __future__ import annotations
 
 import io
+import urllib.parse
 from typing import Iterable, Iterator
 from urllib.robotparser import RobotFileParser
 
 import pandas as pd
 
 USER_AGENT = "sitecheck-spark"
+
+
+def match_path(url: str) -> str:
+    """The exact string RobotFileParser.can_fetch matches rule prefixes
+    against: quote(urlunparse(('','',path,params,query,fragment))) of the
+    UNQUOTED url, '/' when empty. Compiled rule prefixes (RuleLine.path) are
+    already quoted by robotparser itself, so prefix-matching this string in
+    the JVM gate reproduces robotparser verdicts byte-for-byte — including
+    rules whose prefix extends into the query ('Disallow: /p?x') and chars
+    that quote(safe='/') encodes differently than our canonical form."""
+    try:
+        parsed = urllib.parse.urlparse(urllib.parse.unquote(url))
+        path = urllib.parse.urlunparse(
+            ("", "", parsed.path, parsed.params, parsed.query, parsed.fragment)
+        )
+        return urllib.parse.quote(path) or "/"
+    except Exception:
+        return "/"
 
 
 def _build_parser(rules: str) -> RobotFileParser:

@@ -36,6 +36,18 @@ def test_cuckoo_crawl_equals_bloom_crawl(spark, pages):
     }
 
 
+def _retained_never_forgotten(seen2, shards2):
+    """Zero false negatives after forget: every retained seen url must still
+    probe positive in its rebuilt shard (the soundness property the old
+    cuckoo delete() violated on 16-bit fingerprint collisions)."""
+    from sitecheck_spark.crawl import _filter_from_bytes
+
+    by_shard = {r["shard"]: bytes(r["bits"]) for r in shards2.collect()}
+    for r in seen2.collect():
+        filt = _filter_from_bytes(by_shard[r["shard"]])
+        assert filt.contains([r["url_hash"]]).all(), r["url"]
+
+
 def test_forget_urls_enables_recrawl(spark, pages):
     seeds = make_seeds_pdf().url.tolist()
     cfg = _cfg(filter_kind="cuckoo")
@@ -50,17 +62,23 @@ def test_forget_urls_enables_recrawl(spark, pages):
     assert seen2.filter(seen2.url == victim).count() == 0
     assert res.seen.filter(res.seen.url == victim).count() == 1
     assert shards2.count() == shards.count()
+    _retained_never_forgotten(seen2, shards2)
 
 
-def test_forget_on_bloom_raises(spark, pages):
+def test_forget_on_bloom_rebuilds(spark, pages):
+    """Bloom filters cannot delete — forget_urls rebuilds the affected shard
+    from the exact seen set instead, so bloom crawls are forgettable too."""
     seeds = make_seeds_pdf().url.tolist()
     cfg = _cfg(filter_kind="bloom")
     res = crawl(spark, pages, seeds, cfg)
     from sitecheck_spark.crawl import _merge_shards
 
     shards = _merge_shards(spark, res.seen, None, cfg)
-    with pytest.raises(Exception, match="cuckoo"):
-        forget_urls(res.seen, shards, ["https://big.example.com/p/0.html"], cfg)[1].count()
+    victim = sorted(r["url"] for r in res.seen.collect())[0]
+    seen2, shards2 = forget_urls(res.seen, shards, [victim], cfg)
+    assert seen2.filter(seen2.url == victim).count() == 0
+    assert shards2.count() == shards.count()
+    _retained_never_forgotten(seen2, shards2)
 
 
 def test_cuckoo_saturation_never_false_negative():

@@ -79,6 +79,18 @@ def test_lsh_topk_recall(spark):
     assert got and got[0]["neighbor_id"] == 50  # near-identical vector shares the bucket
 
 
+def test_except_distinct_with_duplicates(spark):
+    """q_except regression: with duplicates in `a` of a value also in `b`,
+    exceptAll().distinct() resurrects the value (it subtracts COUNTS);
+    subtract() is true EXCEPT DISTINCT and must drop it entirely."""
+    a = spark.createDataFrame([(1,), (1,), (2,)], "id long")
+    b = spark.createDataFrame([(1,)], "id long")
+    assert {r["id"] for r in a.subtract(b).collect()} == {2}
+    # the old implementation would have produced {1, 2} — pin the difference
+    wrong = {r["id"] for r in a.exceptAll(b).distinct().collect()}
+    assert wrong == {1, 2}
+
+
 def test_lang_id(docs):
     preds = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(docs).collect()}
     assert preds[0] == "en" and preds[4] == "de" and preds[5] == "fr"

@@ -15,11 +15,21 @@ EXTRA_BODIES = {
     ),
     "allowall.example.com": "User-agent: *\nDisallow:\n",
     "blockall.example.com": "User-agent: *\nDisallow: /\n",
+    # adversarial quoting cases: rule prefixes extending into the query,
+    # chars robotparser's quote(safe='/') encodes ('?', ':', '=') vs our
+    # canonical form's wider safe set, pre-percent-encoded rules
+    "query.example.com": (
+        "User-agent: *\nDisallow: /p?x\nDisallow: /search?q=secret\n"
+        "Disallow: /a:b\nDisallow: /enc%20oded\n"
+    ),
 }
 
 PATHS = [
     "/", "/p/1.html", "/private/4.html", "/private/open/x.html", "/privateer",
     "/tmp", "/tmp/x", "/TMP/x", "/a/b/c.html?q=1", "/robots.txt",
+    # query/quoting probes for query.example.com's rules
+    "/p?x=1", "/p?y=1", "/p", "/search?q=secret", "/search?q=public",
+    "/a:b/c", "/a%3Ab/c", "/enc%20oded/x", "/enc oded/x",
 ]
 
 
