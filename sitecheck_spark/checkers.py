@@ -51,6 +51,33 @@ def find_misspellings(text: str, dictionary: set[str]) -> list[str]:
     return sorted({t for t in tokenize(text) if len(t) >= 3 and t not in dictionary})
 
 
+SPELL_CONTEXT = 24  # chars of context on each side of a misspelling
+
+
+def spelling_context(text: str, word: str) -> str:
+    """Context window around the FIRST substring occurrence of `word` in
+    lower(text): starts 24 chars before it, runs len(word)+48 chars (window
+    keeps full length when clipped at the string start). The rule is chosen
+    to be expressible identically in pure JVM substring/locate (the
+    check_spelling builder) and pure Python (this function / golden.py) —
+    the reference logs misspellings with surrounding context (SURVEY.md
+    §2.7 C4)."""
+    lt = text.lower()
+    i = lt.find(word)
+    if i < 0:  # unreachable for tokens extracted from this text
+        return word
+    start = max(0, i - SPELL_CONTEXT)
+    return lt[start:start + len(word) + 2 * SPELL_CONTEXT]
+
+
+def misspelling_details(text: str, dictionary: set[str]) -> list[str]:
+    """'word: context' detail strings, sorted by word — golden's spelling
+    findings; byte-identical to check_spelling's `detail` column."""
+    return [
+        f"{w}: {spelling_context(text, w)}" for w in find_misspellings(text, dictionary)
+    ]
+
+
 def find_emails(text: str) -> list[str]:
     return EMAIL_RE.findall(text)
 
@@ -89,7 +116,11 @@ def readability(text: str) -> float | None:
 # ---------------------------------------------------------------------------
 
 def check_spelling(parsed: DataFrame, dictionary: DataFrame) -> DataFrame:
-    """C4: (url, wave, word) for each distinct unknown token per page.
+    """C4: (url, wave, word, detail) per distinct unknown token per page;
+    detail = 'word: <context>' around the first occurrence (same rule as
+    spelling_context, all JVM: locate + substring on the re-joined text —
+    the anti-join runs on narrow token rows first, text re-attaches only to
+    the few surviving misspellings).
 
     Dictionary is broadcast — it is small by construction (SURVEY.md §2.3 J3).
     """
@@ -105,8 +136,20 @@ def check_spelling(parsed: DataFrame, dictionary: DataFrame) -> DataFrame:
         )
         .filter(F.length("word") >= 3)
     )
-    return tokens.join(F.broadcast(dictionary), "word", "left_anti").select(
-        "url", "wave", "word"
+    unknown = tokens.join(F.broadcast(dictionary), "word", "left_anti")
+    text = parsed.select("url", "wave", F.lower("extracted_text").alias("_lt"))
+    pos = F.expr("locate(word, _lt)")  # 1-based first occurrence
+    ctx = F.substring(
+        F.col("_lt"),
+        F.greatest(F.lit(1), pos - F.lit(SPELL_CONTEXT)),
+        F.length("word") + F.lit(2 * SPELL_CONTEXT),
+    )
+    return (
+        unknown.join(text, ["url", "wave"])
+        .select(
+            "url", "wave", "word",
+            F.concat(F.col("word"), F.lit(": "), ctx).alias("detail"),
+        )
     )
 
 

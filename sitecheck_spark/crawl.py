@@ -1,6 +1,6 @@
 """The crawl engine: BFS URL-frontier as iterative DataFrame programs.
 
-Implements CRAWL CONTRACT v1 (golden.py) Spark-first (SURVEY.md §3.2):
+Implements CRAWL CONTRACT v2 (golden.py) Spark-first (SURVEY.md §3.2):
 
     seeds -> frontier(wave 0)
     per wave:
@@ -16,8 +16,9 @@ Implements CRAWL CONTRACT v1 (golden.py) Spark-first (SURVEY.md §3.2):
                      text + title + meta + comments; the only place html is
                      ever read (column pruning, SURVEY.md §4)
       5. checkers  = DataFrame builders over parsed (C2..C5, C7)
-      6. cand      = explode(outlinks) -> ext/domain/depth filters ->
-                     groupBy(url).min(struct(depth, referrer)) dedupe
+      6. cand      = explode(outlinks) ∪ meta-refresh targets (hop-capped
+                     redirect chains) -> ext/domain/depth filters ->
+                     groupBy(url).min(struct(depth, referrer, redirects))
       7. new       = bloom-shard probe (cogroup applyInPandas) -> exact
                      anti-join fallback only for bloom-positives (A1/J2)
       8. gate      = robots verdicts on the *new* urls only (R1) — each url
@@ -66,6 +67,7 @@ class CrawlConfig:
     budget_per_host: int = 10
     max_waves: int = 50
     max_depth: int = 10
+    max_redirects: int = 5             # meta-refresh chain hop cap
     allowed_netlocs: list[str] | None = None  # default: seed netlocs
     n_shards: int = 32
     salt_buckets: int = 8
@@ -235,11 +237,12 @@ def _filter_from_bytes(raw: bytes):
         else BloomShard.from_bytes(raw)
 
 
-_CAND_COLS = ["url", "netloc", "depth", "priority", "referrer", "url_hash", "shard"]
+_CAND_COLS = ["url", "netloc", "depth", "priority", "referrer", "redirects",
+              "url_hash", "shard"]
 _FUSED_SCHEMA = (
     "kind int, url string, netloc string, depth int, priority double, "
-    "referrer string, url_hash long, shard int, maybe_seen boolean, "
-    "bits binary, n_items long"
+    "referrer string, redirects int, url_hash long, shard int, "
+    "maybe_seen boolean, bits binary, n_items long"
 )
 
 
@@ -283,8 +286,8 @@ def _make_probe_merge_fn(cfg: "CrawlConfig"):
             pd.DataFrame(
                 {
                     "url": [""], "netloc": [""], "depth": [0], "priority": [0.0],
-                    "referrer": [""], "url_hash": [0], "shard": [int(key[0])],
-                    "kind": [1], "maybe_seen": [False],
+                    "referrer": [""], "redirects": [0], "url_hash": [0],
+                    "shard": [int(key[0])], "kind": [1], "maybe_seen": [False],
                     "bits": [bloom.to_bytes()], "n_items": [n_items],
                 }
             )
@@ -366,10 +369,11 @@ def crawl(
     ).persist()
     rules = robots.mapInPandas(_compile_rules_batches, _RULES_SCHEMA).persist()
 
-    frontier_cols = ["url", "netloc", "depth", "priority", "referrer"]
+    frontier_cols = ["url", "netloc", "depth", "priority", "referrer", "redirects"]
     seeds_df = spark.createDataFrame(
-        [(u, netloc_of(u), 0, 0.0, "") for u in seed_canon],
-        schema="url string, netloc string, depth int, priority double, referrer string",
+        [(u, netloc_of(u), 0, 0.0, "", 0) for u in seed_canon],
+        schema="url string, netloc string, depth int, priority double, "
+               "referrer string, redirects int",
     )
 
     fetch_logs: list[DataFrame] = []
@@ -463,7 +467,7 @@ def crawl(
             fetched.filter(F.col("html").isNotNull())
             .repartition(n_parse)  # parse parallelism ∝ cores, not bytes
             .select("url", "netloc", F.lit(wave).alias("wave"), "depth",
-                    "priority", "referrer", "html")
+                    "priority", "referrer", "redirects", "html")
             .mapInPandas(parse_pages_batch, PARSED_SCHEMA)
         ).persist()
 
@@ -476,13 +480,39 @@ def crawl(
         if cfg.run_checkers:
             wave_findings.extend(_run_checkers(parsed, dictionary))
 
-        cand = (
+        # Candidate edges: outlinks (depth+1, fresh redirect counter) plus
+        # meta-refresh redirect targets (same depth, hop counter +1 along the
+        # chain — the reference's Request carries a redirect count with a
+        # cap; over-cap chains are findings, not candidates).
+        out_cand = (
             parsed.filter(F.col("depth") + 1 <= cfg.max_depth)
             .select(
                 F.explode("outlinks").alias("url"),
                 F.col("url").alias("referrer"),
                 (F.col("depth") + 1).alias("depth"),
+                F.lit(0).alias("redirects"),
             )
+        )
+        has_redirect = parsed.filter(F.col("redirect").isNotNull())
+        red_cand = (
+            has_redirect.filter(F.col("redirects") + 1 <= cfg.max_redirects)
+            .select(
+                F.col("redirect").alias("url"),
+                F.col("url").alias("referrer"),
+                F.col("depth").alias("depth"),
+                (F.col("redirects") + 1).alias("redirects"),
+            )
+        )
+        wave_findings.append(
+            has_redirect.filter(F.col("redirects") + 1 > cfg.max_redirects).select(
+                F.lit("redirect").alias("module"), "url", F.lit(wave).alias("wave"),
+                F.concat(F.lit("max_redirects_exceeded "), F.col("redirect"))
+                .alias("detail"),
+                "referrer",
+            )
+        )
+        cand = (
+            out_cand.unionByName(red_cand)
             .withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("")))
             .filter(~F.lower("path").rlike(_EXT_PATTERN))
             .withColumn("netloc", F.parse_url("url", F.lit("HOST")))
@@ -494,11 +524,12 @@ def crawl(
         )
         cand = (
             cand.groupBy("url", "netloc")
-            .agg(F.min(F.struct("depth", "referrer")).alias("m"))
+            .agg(F.min(F.struct("depth", "referrer", "redirects")).alias("m"))
             .select(
                 "url", "netloc", F.col("m.depth").alias("depth"),
                 F.col("m.depth").cast("double").alias("priority"),
                 F.col("m.referrer").alias("referrer"),
+                F.col("m.redirects").alias("redirects"),
             )
         )
         cand = _with_identity(cand, cfg.n_shards)
@@ -761,7 +792,7 @@ def _run_checkers(parsed: DataFrame, dictionary: DataFrame | None) -> list[DataF
         out.append(
             check_spelling(parsed, dictionary).select(
                 F.lit("spelling").alias("module"), "url", "wave",
-                F.col("word").alias("detail"), F.lit("").alias("referrer"),
+                "detail", F.lit("").alias("referrer"),
             )
         )
     out.append(
@@ -783,6 +814,40 @@ def _run_checkers(parsed: DataFrame, dictionary: DataFrame | None) -> list[DataF
         )
     )
     return out
+
+
+def resolve_redirect_chains(edges: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Resolve each redirect source's final destination over an edge table
+    (src, dst), hop-capped. Returns (src, final, hops, capped).
+
+    Each iteration is ONE equi-join advancing every unresolved cursor a hop
+    — k joins total for a k-hop cap, never an all-pairs or transitive-
+    closure expansion, so it scales to web-sized redirect tables. Cycles
+    terminate via the cap and surface as capped=true (as does any chain
+    longer than max_hops). Assumes functional edges (one outgoing redirect
+    per src), which is what meta-refresh/3xx semantics give."""
+    cur = edges.select("src", F.col("dst").alias("cur"), F.lit(1).alias("hops"))
+    step = edges.select(F.col("src").alias("cur"), F.col("dst").alias("_d"))
+    for _ in range(max_hops - 1):
+        cur = (
+            cur.join(step, "cur", "left")
+            .select(
+                "src",
+                F.coalesce("_d", F.col("cur")).alias("cur"),
+                F.when(F.col("_d").isNotNull(), F.col("hops") + 1)
+                .otherwise(F.col("hops")).alias("hops"),
+            )
+        )
+    more = edges.select(F.col("src").alias("cur")).distinct().withColumn(
+        "_more", F.lit(True)
+    )
+    return (
+        cur.join(more, "cur", "left")
+        .select(
+            "src", F.col("cur").alias("final"), "hops",
+            F.coalesce("_more", F.lit(False)).alias("capped"),
+        )
+    )
 
 
 def _make_rebuild_fn(cfg: "CrawlConfig"):

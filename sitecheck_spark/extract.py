@@ -52,6 +52,7 @@ class _PageParser(HTMLParser):
         self.comments: list[str] = []
         self.title_parts: list[str] = []
         self.meta_description: str | None = None
+        self.refresh: str | None = None
         self._skip_depth = 0
         self._in_title = False
 
@@ -68,6 +69,17 @@ class _PageParser(HTMLParser):
             d = dict(attrs)
             if (d.get("name") or "").lower() == "description":
                 self.meta_description = d.get("content") or ""
+            # <meta http-equiv="refresh" content="N;url=TARGET"> — the
+            # HTML-level redirect a WARC-style corpus can express (the
+            # reference follows HTTP 3xx with a redirect-count cap; the
+            # engine gives meta-refresh the same chain semantics). First
+            # refresh in the document wins, like browsers.
+            if (d.get("http-equiv") or "").lower() == "refresh" and self.refresh is None:
+                for part in (d.get("content") or "").split(";"):
+                    p = part.strip()
+                    if p.lower().startswith("url="):
+                        self.refresh = p[4:].strip().strip("'\"")
+                        break
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_CONTENT and self._skip_depth > 0:
@@ -114,6 +126,7 @@ def parse_page(html: bytes | str | None) -> dict:
         "comments": parser.comments,
         "title": title,
         "meta_description": parser.meta_description,
+        "refresh": parser.refresh,
     }
 
 
@@ -143,28 +156,32 @@ PARSED_COLUMNS = [
     "depth",
     "priority",
     "referrer",
+    "redirects",
     "outlinks",
     "extracted_text",
     "title",
     "meta_description",
     "comments",
+    "redirect",
     "n_links",
     "content_len",
 ]
 
 PARSED_SCHEMA = (
     "url string, netloc string, wave int, depth int, priority double, "
-    "referrer string, outlinks array<string>, extracted_text string, "
-    "title string, meta_description string, comments array<string>, "
-    "n_links int, content_len long"
+    "referrer string, redirects int, outlinks array<string>, "
+    "extracted_text string, title string, meta_description string, "
+    "comments array<string>, redirect string, n_links int, content_len long"
 )
 
 
 def parse_pages_batch(
     batches: Iterable[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas function:
-    (url, netloc, wave, depth, priority, referrer, html) -> PARSED_SCHEMA.
+    """mapInPandas function: (url, netloc, wave, depth, priority, referrer,
+    redirects, html) -> PARSED_SCHEMA. `redirect` is the resolved canonical
+    meta-refresh target (null if none); `redirects` passes through the
+    page's own redirect-hop count for chain accounting.
 
     One Arrow batch in, one out; all Python work is per-batch, not per-task-row
     round trips. This is the only place `html:binary` is ever materialized
@@ -172,9 +189,9 @@ def parse_pages_batch(
     """
     for pdf in batches:
         rows = []
-        for url, netloc, wave, depth, priority, referrer, html in zip(
+        for url, netloc, wave, depth, priority, referrer, redirects, html in zip(
             pdf["url"], pdf["netloc"], pdf["wave"], pdf["depth"],
-            pdf["priority"], pdf["referrer"], pdf["html"]
+            pdf["priority"], pdf["referrer"], pdf["redirects"], pdf["html"]
         ):
             parsed = parse_page(html)
             outlinks = []
@@ -182,6 +199,10 @@ def parse_pages_batch(
                 resolved = resolve_link(url, href)
                 if resolved:
                     outlinks.append(resolved)
+            redirect = (
+                resolve_link(url, parsed["refresh"]) or None
+                if parsed["refresh"] else None
+            )
             rows.append(
                 (
                     url,
@@ -190,11 +211,13 @@ def parse_pages_batch(
                     depth,
                     priority,
                     referrer,
+                    redirects,
                     outlinks,
                     parsed["text"],
                     parsed["title"],
                     parsed["meta_description"],
                     parsed["comments"],
+                    redirect,
                     len(outlinks),
                     len(html) if html is not None else 0,
                 )

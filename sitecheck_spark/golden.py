@@ -8,26 +8,30 @@ engine (crawl.py) must produce the identical crawl ordering, final URL-seen
 set, fetch log and findings — asserted by tests/test_crawl_golden.py. When a
 real reference snapshot lands, this file is what gets re-derived from it.
 
-CRAWL CONTRACT v1
------------------
-state: frontier rows (url, netloc, depth, priority, referrer); seen = set of
-canonical urls ever enqueued OR robots-blocked.
+CRAWL CONTRACT v2 (v1 + redirect chains)
+----------------------------------------
+state: frontier rows (url, netloc, depth, priority, referrer, redirects);
+seen = set of canonical urls ever enqueued OR robots-blocked.
 
-wave 0: canonical seeds, depth 0, priority 0.0, referrer ''. Robots-blocked
-seeds are logged and dropped (and marked seen).
+wave 0: canonical seeds, depth 0, priority 0.0, referrer '', redirects 0.
+Robots-blocked seeds are logged and dropped (and marked seen).
 
 each wave k while frontier non-empty and k < max_waves:
  1. budget per netloc: B, or max(1, floor(B / crawl_delay)) if robots set one.
  2. elect per netloc the first `budget` rows ordered by (priority, url);
     the remainder carries to wave k+1 unchanged. crawl order within a wave
     is (priority, url); across waves it is wave-major.
- 3. "fetch" each elected url against the LATEST corpus version (max warc_ts):
-    present -> status 200, parse; absent -> status 404 + broken_link finding.
+ 3. "fetch" each elected url against the LATEST corpus version (max of
+    (warc_ts, md5(html)) — a total order): present -> status 200, parse;
+    absent -> status 404 + broken_link finding.
  4. checker modules run per fetched page (checkers.py pure functions).
- 5. candidates = outlinks of fetched pages, already canonicalized, filtered:
-    ignored extensions out; netloc must be in allowed_netlocs (seed netlocs
-    by default); depth+1 <= max_depth.
- 6. dedupe candidates by url keeping (min depth, then min referrer);
+ 5. candidates = outlinks of fetched pages (depth+1 <= max_depth, fresh
+    redirects=0) PLUS the page's meta-refresh target if any (same depth,
+    redirects+1; if redirects+1 > max_redirects the target is a `redirect`
+    finding 'max_redirects_exceeded <target>' instead of a candidate).
+    All candidates canonicalized and filtered: ignored extensions out;
+    netloc must be in allowed_netlocs (seed netlocs by default).
+ 6. dedupe candidates by url keeping min (depth, referrer, redirects);
     candidate priority = float(min depth).
  7. drop candidates already in seen; robots-gate the rest: blocked ->
     robots_blocked finding + marked seen; allowed -> marked seen, join
@@ -42,9 +46,9 @@ from dataclasses import dataclass, field
 from sitecheck_spark import robots as robots_mod
 from sitecheck_spark.checkers import (
     find_emails,
-    find_misspellings,
     find_sensitive_comments,
     meta_issues,
+    misspelling_details,
 )
 from sitecheck_spark.extract import parse_page
 from sitecheck_spark.functions.urls import canonicalize, netloc_of, resolve_link
@@ -75,6 +79,7 @@ def golden_crawl(
     budget_per_host: int = 10,
     max_waves: int = 50,
     max_depth: int = 10,
+    max_redirects: int = 5,
     allowed_netlocs: set[str] | None = None,
 ) -> GoldenResult:
     """pages_rows: (url, warc_ts, html, text, lang) tuples (any order)."""
@@ -107,7 +112,7 @@ def golden_crawl(
                                  "detail": "robots_blocked", "referrer": ""})
             continue
         frontier.append({"url": s, "netloc": nl, "depth": 0, "priority": 0.0,
-                         "referrer": ""})
+                         "referrer": "", "redirects": 0})
 
     wave = 0
     while frontier and wave < max_waves:
@@ -144,9 +149,9 @@ def golden_crawl(
             res.fetch_log.append({**row, "wave": wave, "status": 200,
                                   "content_len": len(html), "n_links": len(outlinks)})
 
-            for w in find_misspellings(parsed["text"], dictionary):
+            for d in misspelling_details(parsed["text"], dictionary):
                 res.findings.append({"module": "spelling", "url": url,
-                                     "wave": wave, "detail": w, "referrer": ""})
+                                     "wave": wave, "detail": d, "referrer": ""})
             for m in find_emails(parsed["text"]):
                 res.findings.append({"module": "regex", "url": url,
                                      "wave": wave, "detail": m, "referrer": ""})
@@ -157,19 +162,35 @@ def golden_crawl(
                 res.findings.append({"module": "metadata", "url": url,
                                      "wave": wave, "detail": issue, "referrer": ""})
 
+            def _offer(target: str, depth: int, redirects: int) -> None:
+                if _ext_ignored(target) or netloc_of(target) not in allowed_netlocs:
+                    return
+                prev = candidates.get(target)
+                if prev is None or (depth, url, redirects) < (
+                    prev["depth"], prev["referrer"], prev["redirects"]
+                ):
+                    candidates[target] = {
+                        "url": target, "netloc": netloc_of(target),
+                        "depth": depth, "priority": float(depth),
+                        "referrer": url, "redirects": redirects,
+                    }
+
+            r = resolve_link(url, parsed["refresh"]) if parsed["refresh"] else ""
+            if r:
+                if row["redirects"] + 1 > max_redirects:
+                    res.findings.append({
+                        "module": "redirect", "url": url, "wave": wave,
+                        "detail": f"max_redirects_exceeded {r}",
+                        "referrer": row["referrer"],
+                    })
+                else:
+                    _offer(r, row["depth"], row["redirects"] + 1)
+
             depth = row["depth"] + 1
             if depth > max_depth:
                 continue
             for out in outlinks:
-                if _ext_ignored(out):
-                    continue
-                if netloc_of(out) not in allowed_netlocs:
-                    continue
-                prev = candidates.get(out)
-                if prev is None or (depth, url) < (prev["depth"], prev["referrer"]):
-                    candidates[out] = {"url": out, "netloc": netloc_of(out),
-                                       "depth": depth, "priority": float(depth),
-                                       "referrer": url}
+                _offer(out, depth, 0)
 
         new_rows = []
         for url in sorted(candidates):

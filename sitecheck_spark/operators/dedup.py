@@ -42,14 +42,11 @@ def doc_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per doc — the right MinHash unit for text:
-    unigram signatures collide pathologically on small vocabularies, while
-    shingle space grows as vocab**n. 1-based element_at matches the SQL
-    oracle's t[i] indexing exactly."""
-    t = words_col("text")
+def _shingles_col(t, n: int):
+    """Array of n-word shingles from a words array. 1-based element_at
+    matches the SQL oracle's t[i] indexing exactly."""
     idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    shingles = F.when(
+    return F.when(
         F.size(t) >= n,
         F.transform(
             idx,
@@ -58,8 +55,15 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per doc — the right MinHash unit for text:
+    unigram signatures collide pathologically on small vocabularies, while
+    shingle space grows as vocab**n."""
     return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("token")
+        "doc_id",
+        F.explode(F.array_distinct(_shingles_col(words_col("text"), n))).alias("token"),
     )
 
 
@@ -93,29 +97,71 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+def minhash_signatures_wide(docs: DataFrame, n_hashes: int = N_MINHASH,
+                            shingle: int | None = 3) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}) with sig_s = min(md5(s || ':' || unit)),
+    unit = n-word shingle (default) or unigram token (shingle=None).
+
+    ZERO-shuffle signature computation: a doc's whole shingle set lives in
+    one row, so each per-seed minimum is array_min over a transform — all
+    n_hashes signatures come out of one narrow codegen'd projection. The
+    previous long-form path exploded (doc, unit, seed) to n_hashes x units
+    rows and shuffled them through a groupBy; at 100 TB that shuffle IS the
+    job. md5 is engine-portable so the DuckDB oracle computes identical
+    signatures. Docs with zero units are dropped (no signature, no bands).
+    """
+    t = words_col("text")
+    units = F.array_distinct(_shingles_col(t, shingle) if shingle else t)
+    d = (
+        docs.select("doc_id", units.alias("_units"))
+        .filter(F.size("_units") > 0)
+    )
+    def sig_expr(s: int):
+        # factory (not a default-arg lambda): pyspark passes (element, index)
+        # to two-parameter lambdas, which would silently replace the seed
+        return F.array_min(
+            F.transform("_units", lambda tok: F.md5(F.concat_ws(":", F.lit(s), tok)))
+        ).alias(f"sig_{s}")
+
+    return d.select("doc_id", *[sig_expr(s) for s in range(n_hashes)])
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH,
                        shingle: int | None = 3) -> DataFrame:
-    """(doc_id, seed, sig) with sig = min(md5(seed || ':' || unit)), unit =
-    n-word shingle (default) or unigram token (shingle=None)."""
-    toks = doc_shingles(docs, shingle) if shingle else doc_tokens(docs)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    """Long-form (doc_id, seed, sig) view of minhash_signatures_wide."""
+    wide = minhash_signatures_wide(docs, n_hashes, shingle)
+    entries = F.array(*[
+        F.struct(F.lit(s).alias("seed"), F.col(f"sig_{s}").alias("sig"))
+        for s in range(n_hashes)
+    ])
     return (
-        toks.select("doc_id", "token", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("token")))).alias("sig"))
+        wide.select("doc_id", F.explode(entries).alias("p"))
+        .select("doc_id", F.col("p.seed").alias("seed"), F.col("p.sig").alias("sig"))
     )
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = N_MINHASH,
                       band_size: int = LSH_BAND_SIZE,
                       shingle: int | None = 3) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any full LSH band bucket."""
-    sigs = minhash_signatures(docs, n_hashes, shingle)
+    """Candidate near-dup pairs: docs sharing any full LSH band bucket.
+
+    Bands are assembled column-wise from the wide signatures (band b =
+    seeds [b*band_size, ...)) — the bucket string is byte-identical to the
+    previous collect_list form and to the SQL oracle's ordered string_agg.
+    The only shuffles left are the band-bucket self-join's."""
+    wide = minhash_signatures_wide(docs, n_hashes, shingle)
+    band_structs = []
+    for band_id in range(0, (n_hashes + band_size - 1) // band_size):
+        seeds = range(band_id * band_size, min((band_id + 1) * band_size, n_hashes))
+        entries = F.sort_array(F.array(*[
+            F.concat_ws("=", F.lit(s), F.col(f"sig_{s}")) for s in seeds
+        ]))
+        band_structs.append(F.struct(
+            F.lit(band_id).alias("band"), F.concat_ws("|", entries).alias("bucket")
+        ))
     bands = (
-        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", F.sort_array(F.collect_list(
-            F.concat_ws("=", F.col("seed"), F.col("sig"))))).alias("bucket"))
+        wide.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -489,6 +489,40 @@ def q_crawl_bfs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
+    "q_redirect_chains",
+    """WITH RECURSIVE e AS (
+         SELECT doc_id AS src,
+                (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst
+         FROM documents WHERE doc_id % 5 = 0),
+       walk(src, cur, hops) AS (
+         SELECT src, dst, 1 FROM e
+         UNION ALL
+         SELECT w.src, e2.dst, w.hops + 1
+         FROM walk w JOIN e e2 ON e2.src = w.cur WHERE w.hops < 4),
+       last AS (
+         SELECT src, cur, hops,
+                row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rk
+         FROM walk)
+       SELECT l.src, l.cur AS final, CAST(l.hops AS INT) AS hops,
+              EXISTS(SELECT 1 FROM e WHERE e.src = l.cur) AS capped
+       FROM last l WHERE rk = 1""",
+)
+def q_redirect_chains(spark, sf_dir):
+    """Redirect-chain resolution (crawl.resolve_redirect_chains) over a
+    synthetic functional edge table: every 5th doc redirects to
+    (id*7+3) mod n. Hop cap 4; capped chains (incl. cycles) flagged."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+    )
+    from sitecheck_spark.crawl import resolve_redirect_chains
+
+    return resolve_redirect_chains(edges, max_hops=4)
+
+
+@query(
     "q_regex_extract",
     """SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+er')) AS match
        FROM documents""",
@@ -722,10 +756,15 @@ def q_dedup_exact(spark, sf_dir):
 
 @query(
     "q_dedup_jaccard",
-    """WITH toks AS (
+    """WITH toks0 AS (
          SELECT DISTINCT doc_id,
                 unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
          FROM documents),
+       maxf AS (SELECT least(1000, count(*) // 2) AS k FROM documents),
+       toks AS (
+         SELECT doc_id, token FROM toks0
+         WHERE token IN (SELECT token FROM toks0 GROUP BY token
+                         HAVING count(*) <= (SELECT k FROM maxf))),
        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
        pair AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -739,7 +778,16 @@ def q_dedup_exact(spark, sf_dir):
        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5""",
 )
 def q_dedup_jaccard(spark, sf_dir):
-    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    """Token-set Jaccard WITH the stop-token guard engaged: tokens present
+    in more than min(1000, n_docs/2) docs are pruned before the self-join.
+    A token of document-frequency f contributes f^2 join rows — without the
+    cap, one ubiquitous token ('the') makes the join quadratic in corpus
+    size. min(1000, ...) keeps the absolute bound that matters at 10^10
+    docs while staying adaptive at test scale. Jaccard is then computed
+    over the pruned token space (oracle applies the identical rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    k = min(1000, docs.count() // 2)
+    return dedup.jaccard_pairs(docs, threshold=0.5, max_token_freq=k)
 
 
 @query(

@@ -104,6 +104,24 @@ def page_url(host: str, idx: int, private: bool = False) -> str:
     return f"https://{host}/{sub}/{idx}.html"
 
 
+def n_redirects_for(host: str, count: int) -> int:
+    """Redirect pages per host (/r/ namespace). The skew host gets a
+    guaranteed 8-hop straight chain so the max_redirects cap (default 5) is
+    exercised; other hosts get short 1–2-hop chains."""
+    if count < 2:
+        return 0
+    return max(8, count // 12) if host == SKEW_HOST else max(1, count // 12)
+
+
+def redirect_target(host: str, i: int, count: int, nr: int) -> str:
+    """Deterministic meta-refresh target of /r/{i}.html."""
+    if host == SKEW_HOST and i < nr - 1:
+        return f"/r/{i + 1}.html"          # straight chain 0 -> 1 -> ... -> nr-1
+    if host != SKEW_HOST and i % 3 == 1 and nr > 1:
+        return f"/r/{(i + 1) % nr}.html"   # occasional 2-hop
+    return f"/p/{(i * 7 + 3) % count}.html"
+
+
 def _is_private(host: str, idx: int) -> bool:
     # ~20% of alpha's pages live under the robots-disallowed /private/ subtree.
     return host == "alpha.example.org" and idx % 5 == 4
@@ -138,6 +156,11 @@ def _page_html(seed: int, host: str, idx: int, n_host_pages: int, version: int,
     # guaranteed cycle within host
     nxt = (idx + 1) % n_host_pages
     links.append(f"/{'private' if _is_private(host, nxt) else 'p'}/{nxt}.html")
+    # deterministic link into the redirect namespace (no rng consumed, so
+    # the rest of this page's random stream is unchanged)
+    nr = n_redirects_for(host, n_host_pages)
+    if nr and idx % 6 == 3:
+        links.append(f"/r/{idx % nr}.html")
     for _ in range(rng.randint(prof["min_links"], prof["max_links"])):
         j = rng.randrange(n_host_pages)
         style = rng.randrange(5)
@@ -228,6 +251,30 @@ def _rows_for_global_ids(ids: Iterable[int], n_pages: int, seed: int,
             yield (url, ts, html.encode("utf-8"), extract_text(html), lang)
 
 
+def _redirect_rows(n_pages: int) -> list[tuple]:
+    """Meta-refresh redirect pages (/r/{i}.html per host). Few relative to
+    the corpus (count//12), so they are generated driver-side like robots
+    rows; the skew host's straight chain exceeds the default hop cap."""
+    rows = []
+    for host, count, _off in host_layout(n_pages):
+        nr = n_redirects_for(host, count)
+        for i in range(nr):
+            target = redirect_target(host, i, count, nr)
+            html = (
+                "<!DOCTYPE html>\n<html>\n<head>\n"
+                f'<title>Redirect {i}</title>\n'
+                f'<meta http-equiv="refresh" content="0;url={target}">\n'
+                "</head>\n<body>\n"
+                f"<p>moved permanently redirecting to {target}</p>\n"
+                "</body>\n</html>"
+            )
+            rows.append((
+                f"https://{host}/r/{i}.html", _EPOCH, html.encode("utf-8"),
+                extract_text(html), "en",
+            ))
+    return rows
+
+
 def _robots_rows() -> list[tuple]:
     rows = []
     for host, body in ROBOTS_BODIES.items():
@@ -244,6 +291,7 @@ def make_pages_pdf(n_pages: int, seed: int = 42, include_robots: bool = True,
                    profile: dict | None = None) -> pd.DataFrame:
     """Local (pandas) corpus for tests. Includes robots.txt pages."""
     rows = list(_rows_for_global_ids(range(n_pages), n_pages, seed, profile))
+    rows.extend(_redirect_rows(n_pages))
     if include_robots:
         rows.extend(_robots_rows())
     return pd.DataFrame(rows, columns=PAGES_COLUMNS)
@@ -267,8 +315,11 @@ def generate_pages_spark(spark, n_pages: int, seed: int = 42, partitions: int | 
 
     rng = spark.range(0, n_pages, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     pages = rng.mapInPandas(gen, schema=schema)
-    robots = spark.createDataFrame(pd.DataFrame(_robots_rows(), columns=PAGES_COLUMNS), schema=schema)
-    return pages.unionByName(robots)
+    extra = spark.createDataFrame(
+        pd.DataFrame(_redirect_rows(n_pages) + _robots_rows(), columns=PAGES_COLUMNS),
+        schema=schema,
+    )
+    return pages.unionByName(extra)
 
 
 def make_seeds_pdf() -> pd.DataFrame:

@@ -100,6 +100,58 @@ def test_findings_cover_planted_signals(golden):
     assert modules["metadata"] > 0
 
 
+def test_redirect_chain_cap_matches_golden(spark):
+    """A straight 8-hop meta-refresh chain: the engine must follow it hop by
+    hop, stop at max_redirects=5 with a `redirect` finding, and never enqueue
+    the over-cap tail — byte-identically to golden."""
+    import datetime as dt
+
+    from sitecheck_spark.extract import extract_text
+
+    host = "chain.example.com"
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def page(path, body_html):
+        html = f"<html><head><title>t</title></head><body>{body_html}</body></html>"
+        return (f"https://{host}{path}", ts, html.encode(), extract_text(html), "en")
+
+    def redirect(path, target):
+        html = (f'<html><head><meta http-equiv="refresh" content="0;url={target}">'
+                f"</head><body>hop</body></html>")
+        return (f"https://{host}{path}", ts, html.encode(), extract_text(html), "en")
+
+    rows = [page("/p/0.html", '<a href="/r/0.html">go</a>'), page("/p/1.html", "end")]
+    rows += [redirect(f"/r/{i}.html", f"/r/{i + 1}.html") for i in range(7)]
+    rows += [redirect("/r/7.html", "/p/1.html")]
+
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    seeds = [f"https://{host}/p/0.html"]
+    cfg = CrawlConfig(budget_per_host=10, max_waves=12, n_shards=2, salt_buckets=2,
+                      run_checkers=False)
+    eng = crawl(spark, pages, seeds, cfg)
+    gold = golden_crawl(rows, seeds, {}, set(), budget_per_host=10, max_waves=12)
+
+    got_order = [(r["wave"], r["url"], r["status"]) for r in
+                 eng.fetch_log.orderBy("wave", "priority", "url").collect()]
+    want_order = [(r["wave"], r["url"], r["status"]) for r in gold.fetch_log]
+    assert got_order == want_order
+    assert {r["url"] for r in eng.seen.collect()} == gold.seen
+
+    # engine ran with run_checkers=False -> compare crawl-level findings only
+    crawl_modules = ("redirect", "broken_link", "robots")
+    got_f = Counter((r["module"], r["url"], r["detail"]) for r in
+                    eng.findings.collect() if r["module"] in crawl_modules)
+    want_f = Counter((f["module"], f["url"], f["detail"]) for f in gold.findings
+                     if f["module"] in crawl_modules)
+    assert got_f == want_f
+    # the cap fires exactly once, at hop 5 (/r/4 -> /r/5 ok, /r/5 -> /r/6 over)
+    cap = [k for k in got_f if k[0] == "redirect"]
+    assert cap == [("redirect", f"https://{host}/r/5.html",
+                    f"max_redirects_exceeded https://{host}/r/6.html")]
+    assert f"https://{host}/r/6.html" not in gold.seen
+    eng.release()
+
+
 def test_bloom_and_exact_paths_agree(spark, corpus_pdf, engine):
     pages = spark.createDataFrame(corpus_pdf, schema=PAGES_SCHEMA)
     cfg = CrawlConfig(

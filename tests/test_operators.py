@@ -44,12 +44,136 @@ def test_minhash_lsh_finds_dups(docs):
     assert (0, 4) not in pairs and (0, 5) not in pairs
 
 
+def test_minhash_wide_equals_groupby_long_form(docs):
+    """The zero-shuffle array_min signature path must reproduce the explode+
+    groupBy signatures exactly (same md5 inputs, same minimum)."""
+    got = {(r["doc_id"], r["seed"]): r["sig"]
+           for r in dedup.minhash_signatures(docs).collect()}
+    toks = dedup.doc_shingles(docs, 3)
+    want = {
+        (r["doc_id"], r["seed"]): r["sig"]
+        for r in (
+            toks.select(
+                "doc_id", "token",
+                F.explode(F.sequence(F.lit(0), F.lit(dedup.N_MINHASH - 1))).alias("seed"),
+            )
+            .groupBy("doc_id", "seed")
+            .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("token")))).alias("sig"))
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_jaccard_stop_token_guard(spark):
+    """max_token_freq prunes ubiquitous tokens BEFORE the self-join: a token
+    in every doc otherwise manufactures pairs (and quadratic join rows)."""
+    rows = [
+        (0, "common alpha beta"),
+        (1, "common alpha beta"),
+        (2, "common gamma delta"),
+        (3, "common epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = {(r["doc_a"], r["doc_b"]) for r in
+                 dedup.jaccard_pairs(docs, threshold=0.2).collect()}
+    guarded = {(r["doc_a"], r["doc_b"]) for r in
+               dedup.jaccard_pairs(docs, threshold=0.2, max_token_freq=3).collect()}
+    assert (0, 1) in guarded                      # real near-dups survive
+    assert (2, 3) in unguarded and (2, 3) not in guarded  # 'common'-only pair dies
+    assert guarded < unguarded
+
+
 def test_simhash_properties(docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert sh[0] == sh[1]  # identical text -> identical simhash
     ham_near = bin(sh[0] ^ sh[2]).count("1")
     ham_far = bin(sh[0] ^ sh[4]).count("1")
     assert ham_near < ham_far
+
+
+def test_simhash_near_pairs_exactness(spark):
+    """q_dedup_simhash has no DuckDB twin (xxhash64) — pin its semantics in
+    pytest instead: the operator's output must EQUAL the from-first-
+    principles recomputation (same-band candidates filtered by exact
+    hamming) over the collected simhash values."""
+    rows = [(i, f"sentence number {i % 7} about topic {i % 5} repeated words here",)
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+
+    def bands(v):
+        return {(i, (v >> (16 * i)) & 0xFFFF) for i in range(4)}
+
+    want = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bands(sh[a]) & bands(sh[b]) and bin(sh[a] ^ sh[b]).count("1") <= 8:
+                want.add((a, b))
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           dedup.simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert got == want and want  # non-vacuous: the corpus must produce pairs
+
+
+def test_approx_distinct_within_5pct(spark):
+    """q_approx_distinct is rows-only (sketches differ across engines) —
+    bound the estimate against the exact distinct count instead."""
+    df = spark.range(0, 20000).select((F.col("id") % 3).alias("g"),
+                                      (F.col("id") * 7919 % 4999).alias("v"))
+    got = {r["g"]: r["approx"] for r in
+           df.groupBy("g").agg(F.approx_count_distinct("v", 0.01).alias("approx")).collect()}
+    exact = {r["g"]: r["n"] for r in
+             df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()}
+    for g in exact:
+        assert abs(got[g] - exact[g]) / exact[g] < 0.05
+
+
+def _recall_vs_brute_force(spark, multi_probe, seed=7, n=300, dim=16, k=3, nq=8):
+    rng = np.random.default_rng(seed)
+    # clustered corpus: ANN recall on pure-noise data is meaningless
+    centers = rng.normal(size=(12, dim))
+    vecs = (centers[rng.integers(0, 12, n)] +
+            rng.normal(scale=0.15, size=(n, dim))).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = emb.filter(f"vec_id < {nq}")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.brute_force_topk(emb, q, k=k).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              similarity.lsh_topk(emb, q, k=k, dim=dim, multi_probe=multi_probe).collect()}
+    return len(exact & approx) / len(exact)
+
+
+def test_lsh_multi_probe_recall(spark):
+    """Recall@k of the LSH ANN vs the brute-force baseline; multi-probe must
+    not lose recall and the exact-bucket floor must be meaningful."""
+    r0 = _recall_vs_brute_force(spark, multi_probe=False)
+    r1 = _recall_vs_brute_force(spark, multi_probe=True)
+    assert r1 >= r0
+    assert r0 >= 0.5
+    assert r1 >= 0.8
+
+
+def test_embedding_near_dup_recall(spark):
+    """LSH-bucketed near-dup pairs vs exact all-pairs cosine at the same
+    threshold: no false positives (cosine recomputed in-operator), and
+    recall over planted duplicates must be high."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(60, 16)).astype("float32")
+    dup = base[:20] + rng.normal(scale=0.01, size=(20, 16)).astype("float32")
+    vecs = np.vstack([base, dup])
+    pdf = pd.DataFrame({"vec_id": range(80), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    got = {(r["vec_a"], r["vec_b"]) for r in
+           similarity.embedding_near_dup_pairs(emb, threshold=0.95, n_planes=6).collect()}
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    want = {(a, b) for a in range(80) for b in range(a + 1, 80) if sims[a, b] >= 0.95}
+    assert got <= want                      # bucketing never invents pairs
+    planted = {(i, 60 + i) for i in range(20)} & want
+    found = got & planted
+    assert len(found) / len(planted) >= 0.7  # recall over planted dups
 
 
 def test_brute_force_topk_vs_numpy(spark):
@@ -77,6 +201,35 @@ def test_lsh_topk_recall(spark):
     emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
     got = similarity.lsh_topk(emb, emb.filter("vec_id = 0"), k=1, dim=16).collect()
     assert got and got[0]["neighbor_id"] == 50  # near-identical vector shares the bucket
+
+
+def test_spelling_context_jvm_matches_python(spark):
+    """check_spelling's JVM locate+substring context must be byte-identical
+    to the pure-Python spelling_context used by golden — including windows
+    clipped at the string start and words at the very end."""
+    from sitecheck_spark import checkers
+
+    texts = [
+        "xqzt right at the start of this text then more words",
+        "some words before the wrongg word and more after it",
+        "a long sentence that ends with the token zzyzx",
+        "Mixed CASE Wrongg with punctuation, wrongg repeated twice!",
+    ]
+    known = {"some", "words", "before", "word", "and", "more", "after",
+             "right", "the", "start", "this", "text", "then", "long",
+             "sentence", "that", "ends", "with", "token", "mixed", "case",
+             "punctuation", "repeated", "twice"}
+    parsed = spark.createDataFrame(
+        [(f"u{i}", 0, t) for i, t in enumerate(texts)],
+        "url string, wave int, extracted_text string",
+    )
+    dictionary = spark.createDataFrame([(w,) for w in sorted(known)], "word string")
+    got = {}
+    for r in checkers.check_spelling(parsed, dictionary).collect():
+        got.setdefault(r["url"], []).append(r["detail"])
+    for i, t in enumerate(texts):
+        want = checkers.misspelling_details(t, known)
+        assert sorted(got.get(f"u{i}", [])) == sorted(want), t
 
 
 def test_except_distinct_with_duplicates(spark):
