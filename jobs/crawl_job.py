@@ -46,12 +46,20 @@ def main() -> None:
                    help="use a shuffle join for the fetch (bucketed pages tables)")
     args = p.parse_args()
 
+    import os
+
     from sitecheck_spark.crawl import CrawlConfig, crawl
     from sitecheck_spark.reports import write_reports
+    from sitecheck_spark.sources.catalog import _BUCKETS_SIDECAR, read_pages_bucketed
 
     spark = SparkSession.builder.appName("sitecheck-spark-crawl").getOrCreate()
 
-    pages = spark.read.parquet(args.pages)
+    n_buckets = None
+    if os.path.exists(os.path.join(args.pages, _BUCKETS_SIDECAR)):
+        # write_pages_bucketed layout -> bucket-pruned fetch joins
+        pages, n_buckets = read_pages_bucketed(spark, args.pages)
+    else:
+        pages = spark.read.parquet(args.pages)
     dictionary = spark.read.parquet(args.dictionary) if args.dictionary else None
     cfg = CrawlConfig(
         budget_per_host=args.budget,
@@ -59,6 +67,7 @@ def main() -> None:
         max_depth=args.max_depth,
         n_shards=args.n_shards,
         filter_kind=args.filter_kind,
+        pages_buckets=n_buckets,
         checkpoint_dir=args.checkpoint_dir,
         broadcast_fetch=not args.no_broadcast_fetch,
         verbose=True,

@@ -99,6 +99,7 @@ def run_level(cpus: int) -> dict:
         cfg = CrawlConfig(
             budget_per_host=10**9, max_waves=WAVES, max_depth=10**6,
             n_shards=64, salt_buckets=8, run_checkers=True,
+            verbose=os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1",
         )
         t0 = time.time()
         res = crawl(spark, pages, seeds, cfg)
@@ -140,8 +141,11 @@ elif __name__ == "__main__":
             [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
             env=env, capture_output=True, text=True,
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        lines = proc.stdout.strip().splitlines()
+        if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1":
+            for extra in lines[:-1]:  # per-wave chain/state/count timings
+                print(f"[{cpus}cpu] {extra}", file=sys.stderr)
+        results[cpus] = json.loads(lines[-1])
         print(json.dumps(results[cpus]))
     eff = (
         results[HIGH]["urls_per_sec"] / results[LOW]["urls_per_sec"]

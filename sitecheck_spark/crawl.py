@@ -59,6 +59,7 @@ from sitecheck_spark.extract import PARSED_SCHEMA, parse_pages_batch
 from sitecheck_spark.functions.urls import canonicalize, netloc_of
 from sitecheck_spark.golden import IGNORED_EXTENSIONS
 from sitecheck_spark.seen import BloomShard, CuckooShard
+from sitecheck_spark.sources import catalog as catalog_mod
 from sitecheck_spark.sources.catalog import WaveCatalog
 
 
@@ -77,6 +78,11 @@ class CrawlConfig:
     bloom_hashes: int = 7
     cuckoo_buckets: int = 1 << 13      # per shard; power of two, 4 slots each
     checkpoint_dir: str | None = None  # enables resumable mode (catalog.py)
+    # Set when `pages` carries catalog.PAGES_BUCKET_COL (write_pages_bucketed
+    # layout): the fetch join adds the bucket key so the scan prunes to the
+    # partitions holding elected urls (dynamic partition pruning). MUST match
+    # the writer's modulus — validated on a sample at crawl start.
+    pages_buckets: int | None = None
     run_checkers: bool = True
     verbose: bool = False
     # Broadcast the elected url set into the pages scan (no corpus shuffle).
@@ -359,7 +365,29 @@ def crawl(
     # html column is never shuffled corpus-wide or columnar-cached. AQE picks
     # the join strategy at runtime: broadcast while the elected set is small,
     # sort-merge against the (bucketed, at scale) pages table when it is not.
-    pages_slim = pages.select("url", "warc_ts", "html")
+    bucketed_fetch = (
+        cfg.pages_buckets is not None and catalog_mod.PAGES_BUCKET_COL in pages.columns
+    )
+    if bucketed_fetch:
+        # cheap guard against a modulus mismatch (would read the wrong
+        # partitions and surface as phantom 404s)
+        bad = (
+            pages.select("url", catalog_mod.PAGES_BUCKET_COL).limit(100)
+            .filter(
+                catalog_mod.bucket_of(F.col("url"), cfg.pages_buckets)
+                != F.col(catalog_mod.PAGES_BUCKET_COL)
+            )
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"pages.{catalog_mod.PAGES_BUCKET_COL} does not match "
+                f"pmod(xxhash64(url), {cfg.pages_buckets}) — wrong pages_buckets?"
+            )
+    fetch_cols = ["url", "warc_ts", "html"] + (
+        [catalog_mod.PAGES_BUCKET_COL] if bucketed_fetch else []
+    )
+    pages_slim = pages.select(*fetch_cols)
     if robots is None:
         robots = robots_from_pages(pages)
     robots = robots.persist()
@@ -437,9 +465,16 @@ def crawl(
         remainder = remainder.persist()
 
         elected_urls = elected.select("url")
+        fetch_keys = ["url"]
+        if bucketed_fetch:
+            elected_urls = elected_urls.withColumn(
+                catalog_mod.PAGES_BUCKET_COL,
+                catalog_mod.bucket_of(F.col("url"), cfg.pages_buckets),
+            )
+            fetch_keys = [catalog_mod.PAGES_BUCKET_COL, "url"]
         if cfg.broadcast_fetch:
             elected_urls = F.broadcast(elected_urls)
-        matched = pages_slim.join(elected_urls, "url")
+        matched = pages_slim.join(elected_urls, fetch_keys)
         latest_rows = matched.groupBy("url").agg(
             # total tie-break on (warc_ts, md5(html)) — see latest_pages()
             F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")

@@ -113,10 +113,12 @@ def lsh_topk(
     at Hamming distance 1 from the query's signature (n_planes+1 buckets
     per query) — the standard recall knob: near-neighbors lost to a single
     hyperplane sign flip are recovered at ~(n_planes+1)x candidate cost,
-    still independent of corpus size. Measured at sf0.1 (500 vecs, 10
-    queries, k=3, 8 planes): recall@3 0.63 exact-bucket -> 1.00 multi-probe
-    (tests/test_operators.py::test_lsh_multi_probe_recall pins the
-    ordering; README has the table)."""
+    still independent of corpus size. Measured recall@3 vs brute force
+    (2000 vecs, 10 queries, k=3): clustered corpus 0.80 -> 0.93 at 4
+    planes, 0.60 -> 0.90 at 8; the sf0.1 test embeddings are uniform NOISE
+    (every neighbor is near-orthogonal), the worst case for sign-LSH:
+    0.20 -> 0.43. tests/test_operators.py::test_lsh_multi_probe_recall pins
+    the ordering; README has the table."""
     corpus = lsh_bucket(embeddings, n_planes, dim)
     q = lsh_bucket(queries, n_planes, dim).select(
         F.col("vec_id").alias("query_id"),

@@ -338,6 +338,9 @@ def q_dup_content(spark, sf_dir):
 
 @query("q_approx_distinct")  # sketch values differ across engines -> rows-only
 def q_approx_distinct(spark, sf_dir):
+    """HLL++ sketches differ across engines; the estimate is bounded vs the
+    exact distinct count (±5%) in pytest — tests/test_operators.py::
+    test_approx_distinct_within_5pct."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -819,11 +822,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 @query("q_dedup_simhash")  # xxhash64-based -> rows-only
 def q_dedup_simhash(spark, sf_dir):
+    """No DuckDB twin (xxhash64); exactness pinned in pytest instead: the
+    operator equals a from-first-principles recomputation (same-band pairs
+    filtered by exact hamming) — tests/test_operators.py::
+    test_simhash_near_pairs_exactness."""
     return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
 @query("q_dedup_embedding")  # FP-threshold on engine-specific LSH -> rows-only
 def q_dedup_embedding(spark, sf_dir):
+    """No DuckDB twin; bounded in pytest instead: output is a SUBSET of the
+    exact all-pairs cosine>=threshold set (cosine is recomputed in-operator,
+    so bucketing can only lose pairs, never invent them) with recall >= 0.7
+    over planted dups — tests/test_operators.py::test_embedding_near_dup_recall."""
     return similarity.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.35
     )
@@ -873,6 +884,9 @@ def q_ann_cosine(spark, sf_dir):
 
 @query("q_ann_lsh")  # sin()-ulp sign risk across engines -> rows-only
 def q_ann_lsh(spark, sf_dir):
+    """No DuckDB twin; recall vs the oracle-checked brute-force baseline is
+    measured and bounded in pytest (tests/test_operators.py::
+    test_lsh_multi_probe_recall) — recall table in README."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries_df, k=3)

@@ -28,8 +28,44 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "manifest.json"
+
+# -- bucketed pages layout ---------------------------------------------------
+# Parquet stand-in for Iceberg's bucket(N, url) partition transform: the
+# pages table is directory-partitioned by pmod(xxhash64(url), N), so the
+# per-wave fetch join prunes its scan to exactly the partitions holding
+# elected urls (dynamic partition pruning; plan-asserted in
+# tests/test_plans.py). Swapping in Iceberg replaces this with a real bucket
+# transform and keeps the crawl-side join unchanged.
+
+PAGES_BUCKET_COL = "url_bucket"
+_BUCKETS_SIDECAR = "_url_buckets.json"
+
+
+def bucket_of(url_col, n_buckets: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+def write_pages_bucketed(pages: DataFrame, dest: str, n_buckets: int = 64) -> None:
+    """Write `pages` hash-partitioned by bucket_of(url). The bucket count is
+    recorded in a sidecar so readers cannot silently join with a mismatched
+    modulus (which would surface as phantom 404s)."""
+    (
+        pages.withColumn(PAGES_BUCKET_COL, bucket_of(F.col("url"), n_buckets))
+        .write.mode("overwrite").partitionBy(PAGES_BUCKET_COL).parquet(dest)
+    )
+    with open(os.path.join(dest, _BUCKETS_SIDECAR), "w") as f:
+        json.dump({"n_buckets": n_buckets, "column": PAGES_BUCKET_COL}, f)
+
+
+def read_pages_bucketed(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """(pages DataFrame incl. url_bucket, n_buckets) — pass n_buckets to
+    CrawlConfig.pages_buckets."""
+    with open(os.path.join(path, _BUCKETS_SIDECAR)) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    return spark.read.parquet(path), n_buckets
 
 STATE_TABLES = ("frontier", "seen", "shards")
 DELTA_TABLES = ("fetch_log", "findings")

@@ -66,6 +66,75 @@ def test_fetch_join_scans_only_needed_columns(spark, pages_parquet):
     assert_broadcast_join(latest)
 
 
+def test_bucketed_fetch_join_prunes_partitions(spark):
+    """write_pages_bucketed layout: the fetch join keyed on (url_bucket, url)
+    must plan a dynamic-partition-pruning filter on the pages scan — only
+    the directories holding elected urls get read."""
+    import tempfile
+
+    from sitecheck_spark.sources.catalog import (
+        PAGES_BUCKET_COL,
+        bucket_of,
+        read_pages_bucketed,
+        write_pages_bucketed,
+    )
+
+    d = tempfile.mkdtemp() + "/pages_bucketed"
+    src = spark.createDataFrame(make_pages_pdf(60), PAGES_SCHEMA)
+    write_pages_bucketed(src, d, n_buckets=8)
+    pages, n_buckets = read_pages_bucketed(spark, d)
+    assert n_buckets == 8
+
+    # the engine's elected set always carries selective filters (politeness
+    # rank / fast-path predicates) — DPP requires one on the filtering side
+    elected = (
+        spark.createDataFrame(
+            [("https://big.example.com/p/0.html", 0)], "url string, depth int"
+        )
+        .filter(F.col("depth") <= 5)
+        .select("url")
+        .withColumn(PAGES_BUCKET_COL, bucket_of(F.col("url"), 8))
+    )
+    matched = pages.select("url", "warc_ts", "html", PAGES_BUCKET_COL).join(
+        F.broadcast(elected), [PAGES_BUCKET_COL, "url"]
+    )
+    plan = formatted_plan(matched)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bucketed_crawl_equals_plain_crawl(spark):
+    """End-to-end: the bucket-pruned fetch path must produce the identical
+    crawl (same fetch log, same seen set) as the plain path."""
+    import tempfile
+
+    from sitecheck_spark.crawl import CrawlConfig, crawl
+    from sitecheck_spark.sources.catalog import read_pages_bucketed, write_pages_bucketed
+    from sitecheck_spark.sources.corpus import make_seeds_pdf
+
+    src = spark.createDataFrame(make_pages_pdf(60), PAGES_SCHEMA)
+    d = tempfile.mkdtemp() + "/pages_bucketed_e2e"
+    write_pages_bucketed(src, d, n_buckets=8)
+    bucketed, n_buckets = read_pages_bucketed(spark, d)
+
+    seeds = make_seeds_pdf().url.tolist()
+    base = dict(budget_per_host=3, max_waves=4, n_shards=4, salt_buckets=2,
+                run_checkers=False)
+    plain = crawl(spark, src, seeds, CrawlConfig(**base))
+    pruned = crawl(spark, bucketed, seeds, CrawlConfig(**base, pages_buckets=n_buckets))
+    key = lambda res: sorted(
+        (r["wave"], r["url"], r["status"]) for r in res.fetch_log.collect()
+    )
+    assert key(plain) == key(pruned)
+    assert {r["url"] for r in plain.seen.collect()} == {
+        r["url"] for r in pruned.seen.collect()
+    }
+    # wrong modulus must be caught, not silently 404
+    with pytest.raises(ValueError, match="pages_buckets"):
+        crawl(spark, bucketed, seeds, CrawlConfig(**base, pages_buckets=7))
+    plain.release()
+    pruned.release()
+
+
 def test_exact_dedup_is_single_shuffle(spark):
     from sitecheck_spark.operators.dedup import exact_dedup
 
