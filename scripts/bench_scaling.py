@@ -142,6 +142,12 @@ elif __name__ == "__main__":
             env=env, capture_output=True, text=True,
         )
         lines = proc.stdout.strip().splitlines()
+        if not lines or not lines[-1].startswith("{"):
+            print(f"--- level {cpus} child failed (rc={proc.returncode}) ---",
+                  file=sys.stderr)
+            print(proc.stdout[-4000:], file=sys.stderr)
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(1)
         if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1":
             for extra in lines[:-1]:  # per-wave chain/state/count timings
                 print(f"[{cpus}cpu] {extra}", file=sys.stderr)

@@ -487,6 +487,81 @@ def q_crawl_bfs(spark, sf_dir):
     return visited
 
 
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Unrolled fixed-point PageRank oracle (see operators/graph.py for the
+    integer-arithmetic determinism contract)."""
+    parts = [
+        """e AS (
+         SELECT doc_id AS src,
+                (doc_id * 2 + 1) % (SELECT count(*) FROM documents) AS dst
+         FROM documents
+         UNION ALL
+         SELECT doc_id, (doc_id * 7 + 3) % (SELECT count(*) FROM documents)
+         FROM documents)""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT doc_id AS node, CAST(1000000000000 AS BIGINT) AS pr FROM documents)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f"""r{k} AS (
+         SELECT n.node,
+                CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+         FROM r{k - 1} n LEFT JOIN (
+           SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS s
+           FROM e JOIN r{k - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+           GROUP BY e.dst) c USING (node))""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, pr FROM r{iterations}")
+
+
+@query("q_pagerank", _pagerank_sql(5))
+def q_pagerank(spark, sf_dir):
+    """Crawl-priority signal: 5 damped power-iteration steps over the same
+    synthetic doc graph as q_crawl_bfs. BIGINT fixed-point arithmetic (units
+    of 1e-12, integer division) so the per-node ranks are bit-identical
+    across engines — no float-sum ordering hazard."""
+    from sitecheck_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 2 + 1) % n).alias("dst")
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst")
+        )
+    )
+    return pagerank(nodes, edges, iterations=5)
+
+
+@query(
+    "q_heavy_hitters",
+    """WITH toks AS (
+         SELECT DISTINCT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+         FROM documents),
+       f AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY token)
+       SELECT token, df, CAST(rk AS INT) AS rk FROM (
+         SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rk
+         FROM f) WHERE rk <= 50""",
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Global top-50 tokens by document frequency. orderBy+limit plans as
+    TakeOrderedAndProject (per-partition partial top-k, tiny driver merge)
+    — the scale-right global top-k; the window rank runs on 50 rows only."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        )).alias("token"),
+    )
+    f = toks.groupBy("token").agg(F.count("*").alias("df"))
+    top = f.orderBy(F.desc("df"), "token").limit(50)
+    w = Window.orderBy(F.desc("df"), "token")
+    return top.withColumn("rk", F.row_number().over(w))
+
+
 # ---------------------------------------------------------------------------
 # §2.7 checker-module scalar functions over documents/events
 # ---------------------------------------------------------------------------

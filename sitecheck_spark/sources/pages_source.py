@@ -49,12 +49,18 @@ class SyntheticPagesReader(DataSourceReader):
 
     def read(self, partition: _Range):
         # imports here: runs on executors
-        from sitecheck_spark.sources.corpus import _robots_rows, _rows_for_global_ids
+        from sitecheck_spark.sources.corpus import (
+            _redirect_rows,
+            _robots_rows,
+            _rows_for_global_ids,
+        )
 
         yield from _rows_for_global_ids(
             range(partition.start, partition.end), self.n_pages, self.seed
         )
         if partition.include_robots:
+            # robots + redirect pages ride the first partition (few rows)
+            yield from _redirect_rows(self.n_pages)
             yield from _robots_rows()
 
 
