@@ -35,9 +35,13 @@ HEADLINE = [
     "q_asof_join",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
+    "q_dedup_jaccard",
     "q_token_count",
     "q_lang_id",
     "q_ann_cosine",
+    "q_pagerank",
+    "q_heavy_hitters",
+    "q_redirect_chains",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

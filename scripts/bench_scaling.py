@@ -55,9 +55,13 @@ def run_level(cpus: int) -> dict:
     # local[n] shares one GC/BlockManager across all "executors" and
     # contends in ways a real cluster does not).
     mode = os.environ.get("SPARK_GRAFT_MASTER_MODE", "local-cluster")
+    # per-executor memory — IDENTICAL at both levels (the protocol compares
+    # cluster sizes, not executor sizes); XHEAVY 600k-page waves need >6g
+    # per executor when the whole crawl lands on few executors
+    mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
     if mode == "local-cluster":
         n_workers = max(1, cpus // 4)
-        master = f"local-cluster[{n_workers},4,6144]"
+        master = f"local-cluster[{n_workers},4,{mem_mb}]"
     else:
         master = f"local[{cpus}]"
     os.environ.setdefault(
@@ -70,7 +74,7 @@ def run_level(cpus: int) -> dict:
                 os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "8g")
-        .config("spark.executor.memory", "6g")
+        .config("spark.executor.memory", f"{mem_mb}m")
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseG1GC")
         .config("spark.sql.session.timeZone", "UTC")

@@ -93,8 +93,14 @@ class CrawlConfig:
     # Partitions for the vectorized parse pass. AQE coalesces exchanges by
     # shuffle BYTES, which starves the downstream Python stage of
     # parallelism (a 200 MB wave coalesces to ~4 tasks on a 32-core
-    # cluster). None -> 2 * defaultParallelism.
+    # cluster). None -> max(2 * defaultParallelism,
+    # frontier_rows / parse_rows_per_partition): the first term keeps every
+    # core busy on small waves, the second caps PARTITION SIZE on big waves
+    # — sizing by cores alone hands a small cluster multi-GB partitions
+    # (html + parse output) and OOMs its executors; partition count must
+    # scale with data, not cluster size.
     parse_partitions: int | None = None
+    parse_rows_per_partition: int = 20_000
 
 
 @dataclass
@@ -423,6 +429,8 @@ def crawl(
     if resumed_from is not None:
         # Resume-exactly: rebuild state from the last committed wave.
         frontier = catalog.read_table(spark, "frontier", resumed_from)
+        if "redirects" not in frontier.columns:  # pre-contract-v2 checkpoint
+            frontier = frontier.withColumn("redirects", F.lit(0))
         frontier = frontier.localCheckpoint(eager=True)
         seen = catalog.read_table(spark, "seen", resumed_from).localCheckpoint(eager=True)
         if cfg.use_bloom:
@@ -497,7 +505,10 @@ def crawl(
             )
         )
 
-        n_parse = cfg.parse_partitions or 2 * spark.sparkContext.defaultParallelism
+        n_parse = cfg.parse_partitions or max(
+            2 * spark.sparkContext.defaultParallelism,
+            -(-n_frontier // cfg.parse_rows_per_partition),  # ceil div
+        )
         parsed = (
             fetched.filter(F.col("html").isNotNull())
             .repartition(n_parse)  # parse parallelism ∝ cores, not bytes

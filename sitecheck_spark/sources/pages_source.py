@@ -24,9 +24,10 @@ PAGES_SCHEMA_DDL = (
 
 
 class _Range(InputPartition):
-    def __init__(self, start: int, end: int, include_robots: bool):
+    def __init__(self, start: int, end: int, is_first: bool, include_robots: bool):
         self.start = start
         self.end = end
+        self.is_first = is_first
         self.include_robots = include_robots
 
 
@@ -42,8 +43,8 @@ class SyntheticPagesReader(DataSourceReader):
         parts = []
         for i, start in enumerate(range(0, self.n_pages, step)):
             parts.append(
-                _Range(start, min(start + step, self.n_pages),
-                       include_robots=(i == 0 and self.include_robots))
+                _Range(start, min(start + step, self.n_pages), is_first=(i == 0),
+                       include_robots=self.include_robots)
             )
         return parts
 
@@ -58,10 +59,13 @@ class SyntheticPagesReader(DataSourceReader):
         yield from _rows_for_global_ids(
             range(partition.start, partition.end), self.n_pages, self.seed
         )
-        if partition.include_robots:
-            # robots + redirect pages ride the first partition (few rows)
+        if partition.is_first:
+            # redirect + robots pages ride the first partition (few rows);
+            # redirect pages are corpus proper, robots stays opt-outable —
+            # exactly make_pages_pdf's semantics
             yield from _redirect_rows(self.n_pages)
-            yield from _robots_rows()
+            if partition.include_robots:
+                yield from _robots_rows()
 
 
 class SyntheticPagesDataSource(DataSource):
