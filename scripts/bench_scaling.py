@@ -77,6 +77,15 @@ def run_level(cpus: int) -> dict:
         .config("spark.executor.memory", f"{mem_mb}m")
         .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseG1GC")
+        # shuffle files are reclaimed by ContextCleaner only when the
+        # ShuffleDependency is GC'd; the shuffle-join (bucketed) mode writes
+        # tens of GB per run, so aggressive periodic GC keeps /tmp from
+        # filling across warmup+runs on this single disk
+        .config("spark.cleaner.periodicGC.interval", "45s")
+        # html-heavy shuffles compress ~40% smaller under zstd than lz4 —
+        # on a single shared disk the shuffle BYTES are the 4N bottleneck
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_CODEC", "lz4"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -89,11 +98,32 @@ def run_level(cpus: int) -> dict:
 
         spark.sparkContext.addPyFile(build_zip())
 
-    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
-        generate_pages_spark(spark, N_PAGES, seed=42, profile=profile).write.mode(
-            "overwrite"
-        ).parquet(CORPUS)
-    pages = spark.read.parquet(CORPUS)
+    # SPARK_GRAFT_BUCKETED=1 benches the at-scale layout: pages bucketed by
+    # pmod(xxhash64(url), N) + shuffle fetch join (broadcast_fetch=False).
+    # At a 10^10-URL frontier the elected set cannot be broadcast — the
+    # driver-side collect+ship is a serial Amdahl term that caps measured
+    # scaling — so the bucketed/shuffle path IS the production shape.
+    bucketed = os.environ.get("SPARK_GRAFT_BUCKETED") == "1"
+    n_buckets = 64
+    corpus = CORPUS + ("-bucketed" if bucketed else "")
+    if bucketed:
+        from sitecheck_spark.sources.catalog import (
+            read_pages_bucketed,
+            write_pages_bucketed,
+        )
+
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+            write_pages_bucketed(
+                generate_pages_spark(spark, N_PAGES, seed=42, profile=profile),
+                corpus, n_buckets=n_buckets,
+            )
+        pages, n_buckets = read_pages_bucketed(spark, corpus)
+    else:
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+            generate_pages_spark(spark, N_PAGES, seed=42, profile=profile).write.mode(
+                "overwrite"
+            ).parquet(corpus)
+        pages = spark.read.parquet(corpus)
     seeds = bench_seeds(N_PAGES, every=seeds_every)
 
     def one_run() -> tuple[float, int]:
@@ -103,6 +133,8 @@ def run_level(cpus: int) -> dict:
         cfg = CrawlConfig(
             budget_per_host=10**9, max_waves=WAVES, max_depth=10**6,
             n_shards=64, salt_buckets=8, run_checkers=True,
+            broadcast_fetch=not bucketed,
+            pages_buckets=n_buckets if bucketed else None,
             verbose=os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1",
         )
         t0 = time.time()
@@ -112,6 +144,10 @@ def run_level(cpus: int) -> dict:
         elapsed = time.time() - t0
         res.release()  # drop cached state so runs don't degrade each other
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()  # drop py refs -> JVM GC -> ContextCleaner frees shuffles
+        spark.sparkContext._jvm.System.gc()
         return elapsed, n_urls, n_findings
 
     one_run()  # warmup (JIT + python workers), discarded

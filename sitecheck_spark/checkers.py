@@ -191,7 +191,11 @@ def check_metadata(parsed: DataFrame) -> DataFrame:
 
 def check_readability(parsed: DataFrame) -> DataFrame:
     """C7: Flesch score from built-in column expressions (no Python)."""
-    words = F.regexp_extract_all(F.lower("extracted_text"), F.lit(TOKEN_SQL), F.lit(0))
+    parsed = parsed.withColumn(
+        "_words",  # materialized: HOF lambdas below must not inline the regex
+        F.regexp_extract_all(F.lower("extracted_text"), F.lit(TOKEN_SQL), F.lit(0)),
+    )
+    words = F.col("_words")
     n_words = F.size(words)
     n_sentences = F.greatest(
         F.lit(1), F.size(F.regexp_extract_all("extracted_text", F.lit("[.!?]"), F.lit(0)))

@@ -27,10 +27,17 @@ def words_col(text: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), F.lit(0))
 
 
-def _count_in(text: Column, words: list[str]) -> Column:
+def _count_in(words: Column, wl: list[str]) -> Column:
+    """Occurrences of any wl-member in a MATERIALIZED word-array column.
+
+    Callers must bind words_col(...) to a real column first (one
+    withColumn): feeding the expression in directly inlines the
+    regexp_extract_all subtree into every filter below — one regex pass per
+    dictionary word per row (operators/dedup._bound_words has the 17x
+    measurement of the same hazard)."""
     c = F.lit(0)
-    for w in words:
-        c = c + F.size(F.filter(words_col(text), lambda t: t == F.lit(w)))
+    for w in wl:
+        c = c + F.size(F.filter(words, lambda t: t == F.lit(w)))
     return c
 
 
@@ -40,16 +47,18 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Ties resolve en > de > fr (strictly-greater comparisons), 'und' when all
     votes are zero — the exact same rule ships in the SQL oracle.
     """
-    en = _count_in(F.col(text_col), EN_STOPWORDS)
-    de = _count_in(F.col(text_col), DE_STOPWORDS)
-    fr = _count_in(F.col(text_col), FR_STOPWORDS)
+    d = df.withColumn("_words", words_col(text_col))
+    w = F.col("_words")
+    en = _count_in(w, EN_STOPWORDS)
+    de = _count_in(w, DE_STOPWORDS)
+    fr = _count_in(w, FR_STOPWORDS)
     pred = (
         F.when((en >= de) & (en >= fr) & (en > 0), "en")
         .when((de >= fr) & (de > 0), "de")
         .when(fr > 0, "fr")
         .otherwise("und")
     )
-    return df.withColumn("pred_lang", pred)
+    return d.withColumn("pred_lang", pred).drop("_words")
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -59,13 +68,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     across engines.
     """
     text = F.col(text_col)
-    words = words_col(text)
+    d = df.withColumn("_words", words_col(text_col))
+    words = F.col("_words")
     n_words = F.size(words)
     n_chars = F.length(text)
     n_punct = F.size(F.regexp_extract_all(text, F.lit("[.,;:!?]"), F.lit(0)))
-    n_stop = _count_in(text, EN_STOPWORDS)
+    n_stop = _count_in(words, EN_STOPWORDS)
     return (
-        df.withColumn("n_words", n_words)
+        d.withColumn("n_words", n_words)
         .withColumn("n_chars_measured", n_chars)
         .withColumn("n_punct", n_punct)
         .withColumn("n_stopwords", n_stop)
@@ -81,6 +91,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                 / n_words.cast("double"),
             ),
         )
+        .drop("_words")
     )
 
 

@@ -701,8 +701,11 @@ def q_meta_lengths(spark, sf_dir):
        WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0""",
 )
 def q_readability(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_words",  # materialized: the syllable transform must not inline the regex
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0)),
+    )
+    words = F.col("_words")
     n_words = F.size(words)
     n_sentences = F.greatest(
         F.lit(1), F.size(F.regexp_extract_all("text", F.lit("[.!?]"), F.lit(0)))
@@ -880,7 +883,9 @@ def q_dedup_jaccard(spark, sf_dir):
                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS token
          FROM w),
        sigs AS (
-         SELECT doc_id, seed, min(md5(seed || ':' || token)) AS sig
+         SELECT doc_id, seed,
+                min(substr(md5('0:' || token) || md5('1:' || token),
+                           CAST(1 + 8 * seed AS INT), 8)) AS sig
          FROM toks, range(8) r(seed) GROUP BY doc_id, seed),
        bands AS (
          SELECT doc_id, seed // 2 AS band,

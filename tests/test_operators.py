@@ -44,21 +44,26 @@ def test_minhash_lsh_finds_dups(docs):
     assert (0, 4) not in pairs and (0, 5) not in pairs
 
 
-def test_minhash_wide_equals_groupby_long_form(docs):
-    """The zero-shuffle array_min signature path must reproduce the explode+
-    groupBy signatures exactly (same md5 inputs, same minimum)."""
+def test_minhash_wide_equals_seed_explode_long_form(docs):
+    """The one-pass wide signature path (all minima from sliced digests,
+    single groupBy) must reproduce the naive seed-exploded computation of
+    the same hash family exactly."""
     got = {(r["doc_id"], r["seed"]): r["sig"]
            for r in dedup.minhash_signatures(docs).collect()}
     toks = dedup.doc_shingles(docs, 3)
+    digest = F.concat(
+        F.md5(F.concat_ws(":", F.lit(0), F.col("token"))),
+        F.md5(F.concat_ws(":", F.lit(1), F.col("token"))),
+    )
     want = {
         (r["doc_id"], r["seed"]): r["sig"]
         for r in (
             toks.select(
-                "doc_id", "token",
+                "doc_id", digest.alias("d"),
                 F.explode(F.sequence(F.lit(0), F.lit(dedup.N_MINHASH - 1))).alias("seed"),
             )
             .groupBy("doc_id", "seed")
-            .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("token")))).alias("sig"))
+            .agg(F.min(F.expr("substring(d, 1 + 8 * seed, 8)")).alias("sig"))
             .collect()
         )
     }
