@@ -46,20 +46,18 @@ def main() -> None:
                    help="use a shuffle join for the fetch (bucketed pages tables)")
     args = p.parse_args()
 
-    import os
-
     from sitecheck_spark.crawl import CrawlConfig, crawl
     from sitecheck_spark.reports import write_reports
-    from sitecheck_spark.sources.catalog import _BUCKETS_SIDECAR, read_pages_bucketed
+    from sitecheck_spark.sources.catalog import pages_sidecar_buckets
 
     spark = SparkSession.builder.appName("sitecheck-spark-crawl").getOrCreate()
 
-    n_buckets = None
-    if os.path.exists(os.path.join(args.pages, _BUCKETS_SIDECAR)):
-        # write_pages_bucketed layout -> bucket-pruned fetch joins
-        pages, n_buckets = read_pages_bucketed(spark, args.pages)
-    else:
-        pages = spark.read.parquet(args.pages)
+    # Detect the bucketed layout through the Hadoop FS API so remote URIs
+    # (s3a://, hdfs://) get the bucket-pruned fetch join too.
+    n_buckets = pages_sidecar_buckets(spark, args.pages)
+    pages = spark.read.parquet(args.pages)
+    print(f"pages layout: "
+          f"{'bucketed(n=%d), DPP fetch join' % n_buckets if n_buckets else 'plain parquet'}")
     dictionary = spark.read.parquet(args.dictionary) if args.dictionary else None
     cfg = CrawlConfig(
         budget_per_host=args.budget,

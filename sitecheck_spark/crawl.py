@@ -483,7 +483,20 @@ def crawl(
         if cfg.broadcast_fetch:
             elected_urls = F.broadcast(elected_urls)
         matched = pages_slim.join(elected_urls, fetch_keys)
-        latest_rows = matched.groupBy("url").agg(
+        # Parse parallelism ∝ cores, not bytes: AQE's byte-based coalescing
+        # would starve the CPU-bound parse stage. Decided BEFORE the fetch
+        # join so the html shuffle lands directly in n_parse partitions.
+        n_parse = cfg.parse_partitions or max(
+            2 * spark.sparkContext.defaultParallelism,
+            -(-n_frontier // cfg.parse_rows_per_partition),  # ceil div
+        )
+        # html crosses EXACTLY ONE shuffle per wave (plan-asserted in
+        # tests/test_plans.py): this repartition hash-partitions fetched
+        # pages by url into n_parse partitions; the version-dedup agg reuses
+        # that partitioning (no second exchange), the left join below
+        # shuffles only the slim elected columns to match it, and the parse
+        # pass inherits the n_parse url-hash partitions unchanged.
+        latest_rows = matched.repartition(n_parse, "url").groupBy("url").agg(
             # total tie-break on (warc_ts, md5(html)) — see latest_pages()
             F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")
         )
@@ -505,13 +518,8 @@ def crawl(
             )
         )
 
-        n_parse = cfg.parse_partitions or max(
-            2 * spark.sparkContext.defaultParallelism,
-            -(-n_frontier // cfg.parse_rows_per_partition),  # ceil div
-        )
         parsed = (
             fetched.filter(F.col("html").isNotNull())
-            .repartition(n_parse)  # parse parallelism ∝ cores, not bytes
             .select("url", "netloc", F.lit(wave).alias("wave"), "depth",
                     "priority", "referrer", "redirects", "html")
             .mapInPandas(parse_pages_batch, PARSED_SCHEMA)

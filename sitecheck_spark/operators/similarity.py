@@ -102,7 +102,7 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 8, dim: int = 64) -> DataF
 
 def lsh_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 3,
-    n_planes: int = 8, dim: int = 64, multi_probe: bool = False,
+    n_planes: int | None = None, dim: int = 64, multi_probe: bool = False,
 ) -> DataFrame:
     """ANN top-k restricted to same-LSH-bucket candidates.
 
@@ -118,7 +118,13 @@ def lsh_topk(
     planes, 0.60 -> 0.90 at 8; the sf0.1 test embeddings are uniform NOISE
     (every neighbor is near-orthogonal), the worst case for sign-LSH:
     0.20 -> 0.43. tests/test_operators.py::test_lsh_multi_probe_recall pins
-    the ordering; README has the table."""
+    the ordering; README has the table.
+
+    n_planes=None (the default) sizes the signature from the corpus via
+    planes_for() — a parquet count(*) is footer-metadata-only, so the
+    sizing probe costs no data scan."""
+    if n_planes is None:
+        n_planes = planes_for(embeddings.count())
     corpus = lsh_bucket(embeddings, n_planes, dim)
     q = lsh_bucket(queries, n_planes, dim).select(
         F.col("vec_id").alias("query_id"),
@@ -141,8 +147,10 @@ def lsh_topk(
         F.col("vec_id").alias("neighbor_id"),
         cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
     )
-    if multi_probe:  # a neighbor can surface via several probed buckets
-        scored = scored.distinct()
+    # No dedup needed even under multi-probe: each corpus vector lives in
+    # exactly one bucket and the n_planes+1 probe signatures per query are
+    # pairwise distinct, so a (query, neighbor) pair matches at most one
+    # probe. (Revisit only if multi-bucket corpus replication is added.)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -152,15 +160,18 @@ def lsh_topk(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 8,
+    embeddings: DataFrame, threshold: float = 0.95, n_planes: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
 
-    n_planes must grow with the corpus (planes_for): the self-join is
-    quadratic WITHIN each bucket, so expected bucket size — n / 2**planes —
-    is the scale knob. Raising planes trades recall for join size; recover
-    recall by unioning runs at shifted plane seeds rather than shrinking
-    planes."""
+    n_planes grows with the corpus (default None = planes_for(count)): the
+    self-join is quadratic WITHIN each bucket, so expected bucket size —
+    n / 2**planes — is the scale knob; the default keeps it near 256
+    regardless of corpus size. Raising planes trades recall for join size;
+    recover recall by unioning runs at shifted plane seeds rather than
+    shrinking planes."""
+    if n_planes is None:
+        n_planes = planes_for(embeddings.count())
     corpus = lsh_bucket(embeddings, n_planes=n_planes)
     a = corpus.alias("a")
     b = corpus.alias("b")

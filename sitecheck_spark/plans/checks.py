@@ -48,6 +48,22 @@ def assert_broadcast_join(df: DataFrame) -> None:
     )
 
 
+def shuffle_exchanges_carrying(df: DataFrame, column: str) -> list[str]:
+    """Detail blocks of shuffle Exchange operators whose input carries
+    `column`. BroadcastExchange is excluded — broadcast is the cheap path
+    the engine chooses deliberately for small sides; what this guards is
+    bytes of `column` crossing a *shuffle* boundary (the 100-TB killer for
+    html:binary, SURVEY.md §4)."""
+    plan = formatted_plan(df)
+    hits = []
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block) and re.search(
+            rf"\b{re.escape(column)}#\d+", block
+        ):
+            hits.append(block)
+    return hits
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of Exchange operators in the plan tree (not the detail dump)."""
     return len(re.findall(r"\(\d+\) Exchange", formatted_plan(df)))

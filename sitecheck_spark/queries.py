@@ -504,7 +504,9 @@ def _pagerank_sql(iterations: int = 5) -> str:
     for k in range(1, iterations + 1):
         parts.append(f"""r{k} AS (
          SELECT n.node,
-                CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+                CAST(150000000000
+                     + 85 * (COALESCE(c.s, 0) // 100)
+                     + (85 * (COALESCE(c.s, 0) % 100)) // 100 AS BIGINT) AS pr
          FROM r{k - 1} n LEFT JOIN (
            SELECT e.dst AS node, SUM(r.pr // d.outdeg) AS s
            FROM e JOIN r{k - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src

@@ -48,23 +48,61 @@ def bucket_of(url_col, n_buckets: int):
     return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) via the JVM Hadoop FS API — speaks every
+    Spark-readable URI scheme (file:, hdfs:, s3a:, ...), unlike os.path."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _sidecar_path(table_path: str) -> str:
+    return table_path.rstrip("/") + "/" + _BUCKETS_SIDECAR
+
+
+def pages_sidecar_buckets(spark: SparkSession, path: str) -> int | None:
+    """n_buckets from the layout sidecar, or None if `path` is not a
+    write_pages_bucketed layout. Resolved through the Hadoop FileSystem API
+    so remote URIs (s3a://, hdfs://) detect the bucketed layout too — an
+    os.path.exists probe would silently miss it and lose DPP pruning."""
+    fs, hpath = _hadoop_fs(spark, _sidecar_path(path))
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        body = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(body)["n_buckets"]
+
+
 def write_pages_bucketed(pages: DataFrame, dest: str, n_buckets: int = 64) -> None:
     """Write `pages` hash-partitioned by bucket_of(url). The bucket count is
     recorded in a sidecar so readers cannot silently join with a mismatched
     modulus (which would surface as phantom 404s)."""
+    spark = pages.sparkSession
     (
         pages.withColumn(PAGES_BUCKET_COL, bucket_of(F.col("url"), n_buckets))
         .write.mode("overwrite").partitionBy(PAGES_BUCKET_COL).parquet(dest)
     )
-    with open(os.path.join(dest, _BUCKETS_SIDECAR), "w") as f:
-        json.dump({"n_buckets": n_buckets, "column": PAGES_BUCKET_COL}, f)
+    fs, hpath = _hadoop_fs(spark, _sidecar_path(dest))
+    out = fs.create(hpath, True)
+    try:
+        body = json.dumps({"n_buckets": n_buckets, "column": PAGES_BUCKET_COL})
+        out.write(bytearray(body.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def read_pages_bucketed(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     """(pages DataFrame incl. url_bucket, n_buckets) — pass n_buckets to
     CrawlConfig.pages_buckets."""
-    with open(os.path.join(path, _BUCKETS_SIDECAR)) as f:
-        n_buckets = json.load(f)["n_buckets"]
+    n_buckets = pages_sidecar_buckets(spark, path)
+    if n_buckets is None:
+        raise FileNotFoundError(
+            f"{_sidecar_path(path)}: not a write_pages_bucketed layout"
+        )
     return spark.read.parquet(path), n_buckets
 
 STATE_TABLES = ("frontier", "seen", "shards")

@@ -11,7 +11,12 @@ from pyspark.sql import SparkSession
 @pytest.fixture(scope="session")
 def spark():
     s = (
-        SparkSession.builder.master("local[4]")
+        # local[4, 2]: maxFailures=2. Plain local[N] runs with maxFailures=1,
+        # so ONE transient task failure (python worker killed under host
+        # memory/CPU contention) fails the whole job — the source of a flaky
+        # kill/resume test in the round-2 full-suite run. A real cluster
+        # retries tasks (default maxFailures=4); mirror that here.
+        SparkSession.builder.master("local[4, 2]")
         .appName("sitecheck-spark-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")

@@ -282,3 +282,47 @@ def test_frame_sampling_fanout(spark):
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert len(per[1]) == 10  # 4000ms / (40ms*10)
     assert len(per[2]) == 1
+
+
+def test_pagerank_hub_overflow_safe(spark):
+    """A hub with ~1e5x-average in-rank: the naive (85*s) div 100 damping
+    would push 85*s past Long.MAX (silent wrap in non-ANSI Spark); the
+    decomposed 85*(s div 100) + (85*(s mod 100)) div 100 must equal the
+    exact big-int result."""
+    from sitecheck_spark.operators.graph import R0, pagerank
+
+    n = 120_000  # spokes, all pointing at node 0
+    nodes = spark.range(n + 1).select(F.col("id").alias("node"))
+    edges = spark.range(1, n + 1).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    pr = {r["node"]: r["pr"]
+          for r in pagerank(nodes, edges, iterations=1).collect()}
+    s = n * R0  # every spoke has outdeg 1 and initial rank R0
+    assert 85 * s > 2**63 - 1  # the naive product would have wrapped
+    expected_hub = 15 * R0 // 100 + (85 * s) // 100  # Python big-int exact
+    assert pr[0] == expected_hub
+    assert pr[1] == 15 * R0 // 100  # spokes get no in-links
+
+
+def test_pagerank_50_iterations_lineage_bounded(spark):
+    """Production iteration counts must not balloon plan depth: with
+    checkpoint_every=10 the final plan covers at most 10 iterations of
+    lineage, so its join count stays bounded regardless of total
+    iterations."""
+    from sitecheck_spark.operators.graph import pagerank
+
+    nodes = spark.range(8).select(F.col("id").alias("node"))
+    edges = spark.range(8).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 8).alias("dst")
+    )
+    ranks = pagerank(nodes, edges, iterations=50, checkpoint_every=10)
+    plan = ranks._jdf.queryExecution().optimizedPlan().toString()
+    # 3 joins per un-checkpointed iteration; 50 iters with ckpt@10 leaves
+    # <= 10 live iterations in the final plan
+    assert plan.count("Join") <= 3 * 10 + 2, plan.count("Join")
+    out = {r["node"]: r["pr"] for r in ranks.collect()}
+    assert len(out) == 8 and all(v > 0 for v in out.values())
+    # ring graph, uniform degree: ranks converge to exactly R0 each
+    vals = set(out.values())
+    assert len(vals) == 1

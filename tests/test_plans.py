@@ -135,6 +135,46 @@ def test_bucketed_crawl_equals_plain_crawl(spark):
     pruned.release()
 
 
+def test_html_crosses_exactly_one_shuffle_per_wave(spark, pages_parquet):
+    """The 100-TB contract of the wave chain (crawl.py fetch→dedup→parse):
+    html:binary — the dominant bytes of the job — must cross exactly ONE
+    shuffle exchange per wave. The repartition(n_parse, url) before the
+    version-dedup agg is that one exchange; the agg reuses its partitioning,
+    the elected-side left join shuffles only slim frontier columns, and the
+    parse pass inherits the partitions. Mirrors the engine chain at
+    crawl.py (matched → latest_rows → fetched → parsed)."""
+    from sitecheck_spark.plans.checks import shuffle_exchanges_carrying
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # Represent the at-scale plan: latest_rows is far above any broadcast
+    # threshold at 100 TB, so disable size-based broadcast; the elected
+    # side keeps its explicit broadcast() hint exactly as the engine does.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pages = spark.read.parquet(pages_parquet).select("url", "warc_ts", "html")
+        elected = spark.createDataFrame(
+            [("https://big.example.com/p/0.html", "big.example.com", 0, 0.0,
+              None, 0)],
+            "url string, netloc string, depth int, priority double, "
+            "referrer string, redirects int",
+        )
+        matched = pages.join(F.broadcast(elected.select("url")), "url")
+        latest_rows = matched.repartition(8, "url").groupBy("url").agg(
+            F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")
+        )
+        fetched = elected.join(latest_rows, "url", "left")
+        parsed_input = fetched.filter(F.col("html").isNotNull()).select(
+            "url", "netloc", "depth", "priority", "referrer", "redirects", "html"
+        )
+        carrying = shuffle_exchanges_carrying(parsed_input, "html")
+        assert len(carrying) == 1, formatted_plan(parsed_input)
+        # and the one exchange is the url-hash repartition, so the dedup agg
+        # and the parse stage are co-partitioned with it
+        assert "hashpartitioning(url" in carrying[0], carrying[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_exact_dedup_is_single_shuffle(spark):
     from sitecheck_spark.operators.dedup import exact_dedup
 
