@@ -87,7 +87,12 @@ def run_level(cpus: int) -> dict:
         .config("spark.io.compression.codec",
                 os.environ.get("SPARK_GRAFT_CODEC", "lz4"))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        # stage metrics ride the UI REST API (plans/stagemetrics.py); port 0
+        # binds an ephemeral port so parallel levels never collide
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_STAGE_METRICS") == "1"
+                else "false")
+        .config("spark.ui.port", "0")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -126,7 +131,16 @@ def run_level(cpus: int) -> dict:
         pages = spark.read.parquet(corpus)
     seeds = bench_seeds(N_PAGES, every=seeds_every)
 
-    def one_run() -> tuple[float, int]:
+    stage_metrics = os.environ.get("SPARK_GRAFT_STAGE_METRICS") == "1"
+
+    def one_run() -> tuple:
+        if stage_metrics:
+            from sitecheck_spark.plans.stagemetrics import (
+                completed_stage_ids,
+                stage_aggregates,
+            )
+
+            before = completed_stage_ids(spark)
         # IDENTICAL job at both levels (the north rule compares cluster
         # sizes, not differently-tuned jobs): same shuffle partitioning,
         # same shard count, same budget/seeds/waves.
@@ -142,13 +156,17 @@ def run_level(cpus: int) -> dict:
         n_urls = res.fetch_log.count()
         n_findings = res.findings.count()
         elapsed = time.time() - t0
+        stages = (
+            stage_aggregates(spark, exclude_ids=before, top=25)
+            if stage_metrics else None
+        )
         res.release()  # drop cached state so runs don't degrade each other
         spark.catalog.clearCache()
         import gc
 
         gc.collect()  # drop py refs -> JVM GC -> ContextCleaner frees shuffles
         spark.sparkContext._jvm.System.gc()
-        return elapsed, n_urls, n_findings
+        return elapsed, n_urls, n_findings, stages
 
     one_run()  # warmup (JIT + python workers), discarded
     samples = [one_run() for _ in range(RUNS)]
@@ -167,6 +185,8 @@ def run_level(cpus: int) -> dict:
         "sec_best": round(best[0], 2),
         "urls_per_sec": round(best[1] / best[0], 1),
     }
+    if best[3] is not None:
+        out["stages"] = best[3]  # best run's per-stage-name aggregates
     spark.stop()
     return out
 
@@ -202,4 +222,16 @@ elif __name__ == "__main__":
         "cluster_ratio": HIGH / LOW,
         "scaling_efficiency": round(eff, 3),
     }
+    if "stages" in results[LOW] and "stages" in results[HIGH]:
+        from sitecheck_spark.plans.stagemetrics import merge_levels
+
+        merged = merge_levels(results[LOW].pop("stages"),
+                              results[HIGH].pop("stages"))
+        summary["stage_table"] = merged
+        print(f"{'inflation':>9}  {'task_s@N':>9} {'task_s@4N':>9}  "
+              f"{'shufW_MB':>9}  stage", file=sys.stderr)
+        for r in merged:
+            print(f"{r['inflation']:>9} {r['task_time_s_N']:>9} "
+                  f"{r['task_time_s_4N']:>9} {r['shuffle_write_mb']:>9}  "
+                  f"{r['name'][:70]}", file=sys.stderr)
     print(json.dumps(summary))

@@ -480,9 +480,6 @@ def crawl(
                 catalog_mod.bucket_of(F.col("url"), cfg.pages_buckets),
             )
             fetch_keys = [catalog_mod.PAGES_BUCKET_COL, "url"]
-        if cfg.broadcast_fetch:
-            elected_urls = F.broadcast(elected_urls)
-        matched = pages_slim.join(elected_urls, fetch_keys)
         # Parse parallelism ∝ cores, not bytes: AQE's byte-based coalescing
         # would starve the CPU-bound parse stage. Decided BEFORE the fetch
         # join so the html shuffle lands directly in n_parse partitions.
@@ -490,19 +487,50 @@ def crawl(
             2 * spark.sparkContext.defaultParallelism,
             -(-n_frontier // cfg.parse_rows_per_partition),  # ceil div
         )
-        # html crosses EXACTLY ONE shuffle per wave (plan-asserted in
-        # tests/test_plans.py): this repartition hash-partitions fetched
-        # pages by url into n_parse partitions; the version-dedup agg reuses
-        # that partitioning (no second exchange), the left join below
-        # shuffles only the slim elected columns to match it, and the parse
-        # pass inherits the n_parse url-hash partitions unchanged.
-        latest_rows = matched.repartition(n_parse, "url").groupBy("url").agg(
+        # html crosses EXACTLY ONE shuffle per wave in BOTH fetch modes
+        # (plan-asserted in tests/test_plans.py, incl. the max_by partial
+        # buffer that smuggles html under a fresh attribute name):
+        # - broadcast fetch: the join is exchange-free; one explicit
+        #   repartition(n_parse, url) feeds the version-dedup agg, which
+        #   reuses that partitioning (no second exchange).
+        # - shuffle fetch (bucketed layout): the join's own Ensure-exchange
+        #   of the pages side IS the html shuffle. Pre-partitioning the slim
+        #   elected side on the join keys into n_parse makes that exchange
+        #   land directly in n_parse partitions, and aggregating on the SAME
+        #   keys (url_bucket is a function of url, so groupBy(bucket, url)
+        #   == groupBy(url)) reuses the join partitioning — aggregating on
+        #   url alone would re-exchange the max_by buffer (= html bytes).
+        # Downstream, the elected-side left join uses the agg's keys too, so
+        # only slim frontier columns shuffle and the parse pass inherits the
+        # n_parse partitions unchanged.
+        if cfg.broadcast_fetch:
+            matched = pages_slim.join(F.broadcast(elected_urls), fetch_keys)
+            agg_in = matched.repartition(n_parse, "url")
+            agg_keys = ["url"]
+        else:
+            matched = pages_slim.join(
+                elected_urls.repartition(n_parse, *fetch_keys), fetch_keys
+            )
+            agg_in = matched
+            agg_keys = fetch_keys
+        latest_rows = agg_in.groupBy(*agg_keys).agg(
             # total tie-break on (warc_ts, md5(html)) — see latest_pages()
             F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")
         )
         # One corpus scan+join per wave: everything downstream (404 split,
         # parse, fetch-log delta) reads this cache, not the parquet again.
-        fetched = elected.join(latest_rows, "url", "left").persist()
+        if agg_keys == ["url"]:
+            fetched = elected.join(latest_rows, "url", "left").persist()
+        else:
+            fetched = (
+                elected.withColumn(
+                    catalog_mod.PAGES_BUCKET_COL,
+                    catalog_mod.bucket_of(F.col("url"), cfg.pages_buckets),
+                )
+                .join(latest_rows, agg_keys, "left")
+                .drop(catalog_mod.PAGES_BUCKET_COL)
+                .persist()
+            )
         missing = fetched.filter(F.col("html").isNull())
         wave_logs.append(
             missing.select(

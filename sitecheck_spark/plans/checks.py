@@ -50,15 +50,28 @@ def assert_broadcast_join(df: DataFrame) -> None:
 
 def shuffle_exchanges_carrying(df: DataFrame, column: str) -> list[str]:
     """Detail blocks of shuffle Exchange operators whose input carries
-    `column`. BroadcastExchange is excluded — broadcast is the cheap path
+    `column` — directly OR smuggled inside an aggregation buffer (a partial
+    max_by/min_by over the column shuffles its bytes under an attribute
+    named valueWithExtremumOrdering#N, which a naive column-name scan
+    misses). BroadcastExchange is excluded — broadcast is the cheap path
     the engine chooses deliberately for small sides; what this guards is
     bytes of `column` crossing a *shuffle* boundary (the 100-TB killer for
     html:binary, SURVEY.md §4)."""
     plan = formatted_plan(df)
+    # attributes whose payload IS the column: partial extremum buffers over
+    # the column re-emit its bytes under fresh attribute ids
+    carriers = {rf"\b{re.escape(column)}#\d+"}
+    for block in plan.split("\n\n"):
+        if re.search(rf"partial_(max|min)_by\({re.escape(column)}#\d+", block):
+            m = re.search(r"Results \[\d+\]: \[([^\]]*)\]", block)
+            if m:
+                for attr in re.findall(r"(\w+)#(\d+)", m.group(1)):
+                    if attr[0] != column and "Ordering" in attr[0]:
+                        carriers.add(rf"\b{attr[0]}#{attr[1]}\b")
     hits = []
     for block in plan.split("\n\n"):
-        if re.match(r"\(\d+\) Exchange", block) and re.search(
-            rf"\b{re.escape(column)}#\d+", block
+        if re.match(r"\(\d+\) Exchange", block) and any(
+            re.search(pat, block) for pat in carriers
         ):
             hits.append(block)
     return hits

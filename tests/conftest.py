@@ -11,17 +11,19 @@ from pyspark.sql import SparkSession
 @pytest.fixture(scope="session")
 def spark():
     s = (
-        # local[4, 2]: maxFailures=2. Plain local[N] runs with maxFailures=1,
-        # so ONE transient task failure (python worker killed under host
-        # memory/CPU contention) fails the whole job — the source of a flaky
-        # kill/resume test in the round-2 full-suite run. A real cluster
-        # retries tasks (default maxFailures=4); mirror that here.
-        SparkSession.builder.master("local[4, 2]")
+        # local[4, 4]: maxFailures=4 (the real-cluster default). Plain
+        # local[N] runs with maxFailures=1, so ONE transient task failure
+        # (python worker killed under host memory/CPU contention) fails the
+        # whole job — the source of flaky full-suite runs under load.
+        SparkSession.builder.master("local[4, 4]")
         .appName("sitecheck-spark-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", "6g")
+        # generous RPC/heartbeat margin: under host contention a paused JVM
+        # must not read as a dead one
+        .config("spark.network.timeout", "600s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )

@@ -175,6 +175,73 @@ def test_html_crosses_exactly_one_shuffle_per_wave(spark, pages_parquet):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_html_single_shuffle_bucketed_shuffle_fetch(spark):
+    """Same single-html-shuffle contract for the bucketed SHUFFLE fetch path
+    (the at-scale configuration — a 10^10-URL elected set cannot broadcast):
+    the join's Ensure-exchange of the pages side is the ONE html shuffle
+    (landing in the elected side's pre-partitioning), the version-dedup agg
+    on the join keys reuses it, the elected left join re-derives the bucket
+    and shuffles only slim columns, DPP still prunes the scan. Also guards
+    the counter against the max_by partial-buffer smuggling hazard."""
+    import tempfile
+
+    from sitecheck_spark.plans.checks import shuffle_exchanges_carrying
+    from sitecheck_spark.sources.catalog import (
+        PAGES_BUCKET_COL,
+        bucket_of,
+        read_pages_bucketed,
+        write_pages_bucketed,
+    )
+
+    d = tempfile.mkdtemp() + "/pages_bucketed_sx"
+    src = spark.createDataFrame(make_pages_pdf(60), PAGES_SCHEMA)
+    write_pages_bucketed(src, d, n_buckets=8)
+    pages, n_buckets = read_pages_bucketed(spark, d)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pages_slim = pages.select("url", "warc_ts", "html", PAGES_BUCKET_COL)
+        elected = spark.createDataFrame(
+            [("https://big.example.com/p/0.html", "big.example.com", 0, 0.0,
+              None, 0)],
+            "url string, netloc string, depth int, priority double, "
+            "referrer string, redirects int",
+        ).filter(F.col("depth") <= 5)
+        keys = [PAGES_BUCKET_COL, "url"]
+        e_urls = (
+            elected.select("url")
+            .withColumn(PAGES_BUCKET_COL, bucket_of(F.col("url"), n_buckets))
+            .repartition(6, *keys)
+        )
+        matched = pages_slim.join(e_urls, keys)
+        latest = matched.groupBy(*keys).agg(
+            F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")
+        )
+        fetched = (
+            elected.withColumn(PAGES_BUCKET_COL,
+                               bucket_of(F.col("url"), n_buckets))
+            .join(latest, keys, "left")
+            .drop(PAGES_BUCKET_COL)
+        )
+        parsed_input = fetched.filter(F.col("html").isNotNull()).select(
+            "url", "netloc", "depth", "priority", "referrer", "redirects", "html"
+        )
+        plan = formatted_plan(parsed_input)
+        assert "dynamicpruning" in plan.lower(), plan
+        carrying = shuffle_exchanges_carrying(parsed_input, "html")
+        assert len(carrying) == 1, plan
+        # negative control: aggregating on url alone would re-shuffle the
+        # max_by buffer (html bytes under a fresh attribute) — the counter
+        # must see through that
+        bad = matched.groupBy("url").agg(
+            F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")
+        )
+        assert len(shuffle_exchanges_carrying(bad, "html")) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_exact_dedup_is_single_shuffle(spark):
     from sitecheck_spark.operators.dedup import exact_dedup
 
