@@ -8,34 +8,46 @@ engine (crawl.py) must produce the identical crawl ordering, final URL-seen
 set, fetch log and findings — asserted by tests/test_crawl_golden.py. When a
 real reference snapshot lands, this file is what gets re-derived from it.
 
-CRAWL CONTRACT v2 (v1 + redirect chains)
+CRAWL CONTRACT v3 (v2 + request verb/post data, SURVEY.md §1.1: the
+reference Request carries a verb and post data; request identity is the
+hashed triple)
 ----------------------------------------
-state: frontier rows (url, netloc, depth, priority, referrer, redirects);
-seen = set of canonical urls ever enqueued OR robots-blocked.
+state: frontier rows (url, netloc, depth, priority, referrer, redirects,
+verb, post_data); seen = set of request identities (verb, canonical url,
+post_data) ever enqueued OR robots-blocked. GET requests have post_data ''.
 
-wave 0: canonical seeds, depth 0, priority 0.0, referrer '', redirects 0.
-Robots-blocked seeds are logged and dropped (and marked seen).
+wave 0: canonical seeds as GET requests, depth 0, priority 0.0,
+referrer '', redirects 0. Robots-blocked seeds are logged and dropped
+(and marked seen).
 
 each wave k while frontier non-empty and k < max_waves:
- 1. budget per netloc: B, or max(1, floor(B / crawl_delay)) if robots set one.
- 2. elect per netloc the first `budget` rows ordered by (priority, url);
-    the remainder carries to wave k+1 unchanged. crawl order within a wave
-    is (priority, url); across waves it is wave-major.
- 3. "fetch" each elected url against the LATEST corpus version (max of
-    (warc_ts, md5(html)) — a total order): present -> status 200, parse;
-    absent -> status 404 + broken_link finding.
- 4. checker modules run per fetched page (checkers.py pure functions).
- 5. candidates = outlinks of fetched pages (depth+1 <= max_depth, fresh
-    redirects=0) PLUS the page's meta-refresh target if any (same depth,
+ 1. budget per netloc: B, or max(1, floor(B / crawl_delay)) if robots set
+    one. Budget counts REQUESTS (a GET and a POST to the same url are two).
+ 2. elect per netloc the first `budget` rows ordered by
+    (priority, url, verb, post_data); the remainder carries to wave k+1
+    unchanged. crawl order within a wave is that same key; across waves it
+    is wave-major.
+ 3. "fetch" each elected request against the LATEST corpus version of its
+    url (max of (warc_ts, md5(html)) — a total order), REGARDLESS of verb —
+    the corpus stands in for the live site, which answers any verb at a
+    url: present -> status 200, parse; absent -> status 404 + broken_link
+    finding. A GET and POST of the same url each fetch (and parse) it once,
+    exactly as the reference issues two network requests.
+ 4. checker modules run per fetched request (checkers.py pure functions).
+ 5. candidates = outlinks of fetched pages as GET requests (depth+1 <=
+    max_depth, fresh redirects=0) PLUS each method=post form as a POST
+    request (resolved action url, post_data = named inputs serialized
+    'name=value&...' in document order; depth+1 <= max_depth, redirects 0)
+    PLUS the page's meta-refresh target if any (GET, same depth,
     redirects+1; if redirects+1 > max_redirects the target is a `redirect`
     finding 'max_redirects_exceeded <target>' instead of a candidate).
-    All candidates canonicalized and filtered: ignored extensions out;
+    All candidate urls canonicalized and filtered: ignored extensions out;
     netloc must be in allowed_netlocs (seed netlocs by default).
- 6. dedupe candidates by url keeping min (depth, referrer, redirects);
-    candidate priority = float(min depth).
- 7. drop candidates already in seen; robots-gate the rest: blocked ->
-    robots_blocked finding + marked seen; allowed -> marked seen, join
-    frontier for wave k+1.
+ 6. dedupe candidates by identity (verb, url, post_data) keeping min
+    (depth, referrer, redirects); candidate priority = float(min depth).
+ 7. drop candidates whose identity is already in seen; robots-gate the
+    rest by url: blocked -> robots_blocked finding + marked seen;
+    allowed -> marked seen, join frontier for wave k+1.
 """
 
 from __future__ import annotations
@@ -62,8 +74,12 @@ IGNORED_EXTENSIONS = (
 class GoldenResult:
     fetch_log: list[dict] = field(default_factory=list)   # crawl order = list order
     findings: list[dict] = field(default_factory=list)
-    seen: set[str] = field(default_factory=set)
+    seen: set[tuple] = field(default_factory=set)  # (verb, url, post_data)
     waves: int = 0
+
+    @property
+    def seen_urls(self) -> set[str]:
+        return {url for (_verb, url, _data) in self.seen}
 
 
 def _ext_ignored(url: str) -> bool:
@@ -106,19 +122,21 @@ def golden_crawl(
         if not s:
             continue
         nl = netloc_of(s)
-        res.seen.add(s)
+        res.seen.add(("GET", s, ""))
         if not robots_mod.allowed(robots_by_netloc.get(nl), s):
             res.findings.append({"module": "robots", "url": s, "wave": 0,
                                  "detail": "robots_blocked", "referrer": ""})
             continue
         frontier.append({"url": s, "netloc": nl, "depth": 0, "priority": 0.0,
-                         "referrer": "", "redirects": 0})
+                         "referrer": "", "redirects": 0,
+                         "verb": "GET", "post_data": ""})
 
     wave = 0
     while frontier and wave < max_waves:
         budgets: dict[str, int] = {}
         elected, remainder = [], []
-        for row in sorted(frontier, key=lambda r: (r["priority"], r["url"])):
+        for row in sorted(frontier, key=lambda r: (
+                r["priority"], r["url"], r["verb"], r["post_data"])):
             nl = row["netloc"]
             if nl not in budgets:
                 d = delays.get(nl)
@@ -129,7 +147,7 @@ def golden_crawl(
             else:
                 remainder.append(row)
 
-        candidates: dict[str, dict] = {}
+        candidates: dict[tuple, dict] = {}
         for row in elected:
             url = row["url"]
             html = latest.get(url)
@@ -162,17 +180,20 @@ def golden_crawl(
                 res.findings.append({"module": "metadata", "url": url,
                                      "wave": wave, "detail": issue, "referrer": ""})
 
-            def _offer(target: str, depth: int, redirects: int) -> None:
+            def _offer(target: str, depth: int, redirects: int,
+                       verb: str = "GET", post_data: str = "") -> None:
                 if _ext_ignored(target) or netloc_of(target) not in allowed_netlocs:
                     return
-                prev = candidates.get(target)
+                key = (verb, target, post_data)
+                prev = candidates.get(key)
                 if prev is None or (depth, url, redirects) < (
                     prev["depth"], prev["referrer"], prev["redirects"]
                 ):
-                    candidates[target] = {
+                    candidates[key] = {
                         "url": target, "netloc": netloc_of(target),
                         "depth": depth, "priority": float(depth),
                         "referrer": url, "redirects": redirects,
+                        "verb": verb, "post_data": post_data,
                     }
 
             r = resolve_link(url, parsed["refresh"]) if parsed["refresh"] else ""
@@ -191,15 +212,21 @@ def golden_crawl(
                 continue
             for out in outlinks:
                 _offer(out, depth, 0)
+            for action, data in parsed["post_forms"]:
+                t = resolve_link(url, action) if action else url
+                if t:
+                    _offer(t, depth, 0, verb="POST", post_data=data)
 
         new_rows = []
-        for url in sorted(candidates):
-            if url in res.seen:
+        for key in sorted(candidates):
+            if key in res.seen:
                 continue
-            cand = candidates[url]
-            res.seen.add(url)
-            if not robots_mod.allowed(robots_by_netloc.get(cand["netloc"]), url):
-                res.findings.append({"module": "robots", "url": url,
+            cand = candidates[key]
+            res.seen.add(key)
+            if not robots_mod.allowed(
+                robots_by_netloc.get(cand["netloc"]), cand["url"]
+            ):
+                res.findings.append({"module": "robots", "url": cand["url"],
                                      "wave": wave, "detail": "robots_blocked",
                                      "referrer": cand["referrer"]})
                 continue

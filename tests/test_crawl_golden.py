@@ -64,20 +64,27 @@ def test_generator_invariants(corpus_pdf):
     # skew host holds ~50% of pages
     hosts = corpus_pdf[~corpus_pdf.url.str.endswith("robots.txt")].url.str.split("/").str[2]
     assert hosts.value_counts().iloc[0] / len(hosts) > 0.4
+    # POST forms are planted so the verb/post_data request path is exercised
+    html = corpus_pdf.html.apply(
+        lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else str(b))
+    assert html.str.contains('method="post"').any()
 
 
 def test_crawl_order_matches_golden(golden, engine):
     got = [
-        (r["wave"], r["priority"], r["url"], r["status"])
-        for r in engine.fetch_log.orderBy("wave", "priority", "url").collect()
+        (r["wave"], r["priority"], r["url"], r["verb"], r["post_data"], r["status"])
+        for r in engine.fetch_log.orderBy(
+            "wave", "priority", "url", "verb", "post_data").collect()
     ]
-    want = [(r["wave"], r["priority"], r["url"], r["status"]) for r in golden.fetch_log]
+    want = [(r["wave"], r["priority"], r["url"], r["verb"], r["post_data"],
+             r["status"]) for r in golden.fetch_log]
     assert got == want
     assert len(got) > 10
 
 
 def test_seen_set_matches_golden(golden, engine):
-    got = {r["url"] for r in engine.seen.select("url").collect()}
+    got = {(r["verb"], r["url"], r["post_data"]) for r in
+           engine.seen.select("verb", "url", "post_data").collect()}
     assert got == golden.seen
 
 
@@ -135,7 +142,7 @@ def test_redirect_chain_cap_matches_golden(spark):
                  eng.fetch_log.orderBy("wave", "priority", "url").collect()]
     want_order = [(r["wave"], r["url"], r["status"]) for r in gold.fetch_log]
     assert got_order == want_order
-    assert {r["url"] for r in eng.seen.collect()} == gold.seen
+    assert {r["url"] for r in eng.seen.collect()} == gold.seen_urls
 
     # engine ran with run_checkers=False -> compare crawl-level findings only
     crawl_modules = ("redirect", "broken_link", "robots")
@@ -148,7 +155,7 @@ def test_redirect_chain_cap_matches_golden(spark):
     cap = [k for k in got_f if k[0] == "redirect"]
     assert cap == [("redirect", f"https://{host}/r/5.html",
                     f"max_redirects_exceeded https://{host}/r/6.html")]
-    assert f"https://{host}/r/6.html" not in gold.seen
+    assert f"https://{host}/r/6.html" not in gold.seen_urls
     eng.release()
 
 
@@ -162,3 +169,50 @@ def test_bloom_and_exact_paths_agree(spark, corpus_pdf, engine):
     assert {r["url"] for r in exact.seen.collect()} == {
         r["url"] for r in engine.seen.collect()
     }
+
+
+def test_post_form_requests_distinct_identity(spark):
+    """CONTRACT v3 (verb + post data on the Request, SURVEY.md §1.1): a page
+    linking to B AND posting a form to B produces TWO requests for B — the
+    request identity is (verb, url, post_data), so both are crawled, both
+    appear in the fetch log with their verb, and the seen set holds the two
+    identities separately. Engine must match golden exactly."""
+    import datetime as dt
+
+    from sitecheck_spark.extract import extract_text
+
+    host = "forms.example.com"
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def page(path, body_html):
+        html = f"<html><head><title>t</title></head><body>{body_html}</body></html>"
+        return (f"https://{host}{path}", ts, html.encode(), extract_text(html), "en")
+
+    rows = [
+        page("/p/0.html",
+             '<a href="/p/1.html">b</a>'
+             '<form method="post" action="/p/1.html">'
+             '<input type="hidden" name="page" value="0"></form>'),
+        page("/p/1.html", "leaf"),
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    seeds = [f"https://{host}/p/0.html"]
+    cfg = CrawlConfig(budget_per_host=10, max_waves=4, n_shards=2,
+                      salt_buckets=2, run_checkers=False)
+    eng = crawl(spark, pages, seeds, cfg)
+    gold = golden_crawl(rows, seeds, {}, set(), budget_per_host=10, max_waves=4)
+
+    got = [(r["wave"], r["url"], r["verb"], r["post_data"], r["status"])
+           for r in eng.fetch_log.orderBy(
+               "wave", "priority", "url", "verb", "post_data").collect()]
+    want = [(r["wave"], r["url"], r["verb"], r["post_data"], r["status"])
+            for r in gold.fetch_log]
+    assert got == want
+    b = f"https://{host}/p/1.html"
+    assert [(u, v, d) for (_, u, v, d, _) in got].count((b, "GET", "")) == 1
+    assert [(u, v, d) for (_, u, v, d, _) in got].count((b, "POST", "page=0")) == 1
+
+    got_seen = {(r["verb"], r["url"], r["post_data"]) for r in eng.seen.collect()}
+    assert got_seen == gold.seen
+    assert ("POST", b, "page=0") in gold.seen and ("GET", b, "") in gold.seen
+    eng.release()

@@ -45,3 +45,28 @@ def test_extract_links_resolution_and_filtering():
 def test_determinism():
     html = "<p>abc</p>" * 100
     assert extract_text(html) == extract_text(html)
+
+
+def test_post_form_captured_and_excluded_from_links():
+    """CONTRACT v3: a method=post form becomes a (action, serialized-fields)
+    POST request — named inputs in document order, value attr or '' — and
+    its action does NOT also surface as a plain link; get/unspecified forms
+    keep today's link behavior."""
+    html = (
+        '<form method="POST" action="/submit.html">'
+        '<input type="hidden" name="token" value="abc">'
+        '<input name="q">'
+        '<input type="submit" value="go"></form>'
+        '<form action="/search.html"><input name="s" value="1"></form>'
+        '<a href="/x.html">x</a>'
+    )
+    p = parse_page(html)
+    assert p["post_forms"] == [("/submit.html", "token=abc&q=")]
+    assert p["links"] == ["/search.html", "/x.html"]
+
+
+def test_post_form_empty_action_and_no_fields():
+    p = parse_page('<form method="post"><input type="submit"></form>')
+    assert p["post_forms"] == [("", "")]
+    p2 = parse_page('<form method="post" action="/a"></form><form method="post" action="/b"><input name="k" value="v"></form>')
+    assert p2["post_forms"] == [("/a", ""), ("/b", "k=v")]
