@@ -124,10 +124,15 @@ def check_spelling(parsed: DataFrame, dictionary: DataFrame) -> DataFrame:
 
     Dictionary is broadcast — it is small by construction (SURVEY.md §2.3 J3).
     """
+    # (verb, post_data) are part of the row identity: a GET and a POST of
+    # the same url are two requests (contract v3) — joining text back on
+    # (url, wave) alone would cross-multiply their findings. Tolerate
+    # url-keyed inputs that predate the request columns.
+    req = [c for c in ("url", "wave", "verb", "post_data")
+           if c in parsed.columns]
     tokens = (
         parsed.select(
-            "url",
-            "wave",
+            *req,
             F.explode(
                 F.array_distinct(
                     F.regexp_extract_all(F.lower("extracted_text"), F.lit(TOKEN_SQL), F.lit(0))
@@ -137,7 +142,7 @@ def check_spelling(parsed: DataFrame, dictionary: DataFrame) -> DataFrame:
         .filter(F.length("word") >= 3)
     )
     unknown = tokens.join(F.broadcast(dictionary), "word", "left_anti")
-    text = parsed.select("url", "wave", F.lower("extracted_text").alias("_lt"))
+    text = parsed.select(*req, F.lower("extracted_text").alias("_lt"))
     pos = F.expr("locate(word, _lt)")  # 1-based first occurrence
     ctx = F.substring(
         F.col("_lt"),
@@ -145,7 +150,7 @@ def check_spelling(parsed: DataFrame, dictionary: DataFrame) -> DataFrame:
         F.length("word") + F.lit(2 * SPELL_CONTEXT),
     )
     return (
-        unknown.join(text, ["url", "wave"])
+        unknown.join(text, req)
         .select(
             "url", "wave", "word",
             F.concat(F.col("word"), F.lit(": "), ctx).alias("detail"),

@@ -250,10 +250,11 @@ def _filter_from_bytes(raw: bytes):
 
 
 _CAND_COLS = ["url", "netloc", "depth", "priority", "referrer", "redirects",
-              "url_hash", "shard"]
+              "verb", "post_data", "url_hash", "shard"]
 _FUSED_SCHEMA = (
     "kind int, url string, netloc string, depth int, priority double, "
-    "referrer string, redirects int, url_hash long, shard int, "
+    "referrer string, redirects int, verb string, post_data string, "
+    "url_hash long, shard int, "
     "maybe_seen boolean, bits binary, n_items long"
 )
 
@@ -298,7 +299,8 @@ def _make_probe_merge_fn(cfg: "CrawlConfig"):
             pd.DataFrame(
                 {
                     "url": [""], "netloc": [""], "depth": [0], "priority": [0.0],
-                    "referrer": [""], "redirects": [0], "url_hash": [0],
+                    "referrer": [""], "redirects": [0], "verb": [""],
+                    "post_data": [""], "url_hash": [0],
                     "shard": [int(key[0])], "kind": [1], "maybe_seen": [False],
                     "bits": [bloom.to_bytes()], "n_items": [n_items],
                 }
@@ -336,9 +338,18 @@ _SHARDS_SCHEMA = "shard int, bits binary, n_items long"
 
 
 def _with_identity(df: DataFrame, n_shards: int) -> DataFrame:
-    return df.withColumn("url_hash", F.xxhash64("url")).withColumn(
-        "shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
-    )
+    """Request identity (CRAWL CONTRACT v3): the hashed (verb, url,
+    post_data) triple — the reference dedups requests, not urls (SURVEY.md
+    §1.1: Request carries verb + post data). DataFrames without request
+    columns get GET/'' defaults, so url-only callers hash identically to a
+    plain GET."""
+    if "verb" not in df.columns:
+        df = df.withColumn("verb", F.lit("GET"))
+    if "post_data" not in df.columns:
+        df = df.withColumn("post_data", F.lit(""))
+    return df.withColumn(
+        "url_hash", F.xxhash64("verb", "url", "post_data")
+    ).withColumn("shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int"))
 
 
 def crawl(
@@ -403,11 +414,12 @@ def crawl(
     ).persist()
     rules = robots.mapInPandas(_compile_rules_batches, _RULES_SCHEMA).persist()
 
-    frontier_cols = ["url", "netloc", "depth", "priority", "referrer", "redirects"]
+    frontier_cols = ["url", "netloc", "depth", "priority", "referrer",
+                     "redirects", "verb", "post_data"]
     seeds_df = spark.createDataFrame(
-        [(u, netloc_of(u), 0, 0.0, "", 0) for u in seed_canon],
+        [(u, netloc_of(u), 0, 0.0, "", 0, "GET", "") for u in seed_canon],
         schema="url string, netloc string, depth int, priority double, "
-               "referrer string, redirects int",
+               "referrer string, redirects int, verb string, post_data string",
     )
 
     fetch_logs: list[DataFrame] = []
@@ -416,7 +428,8 @@ def crawl(
 
     empty_log = spark.createDataFrame(
         [], "url string, netloc string, wave int, depth int, priority double, "
-            "referrer string, status int, content_len long, n_links int",
+            "referrer string, verb string, post_data string, "
+            "status int, content_len long, n_links int",
     )
     empty_findings = spark.createDataFrame([], FINDINGS_SCHEMA)
 
@@ -431,8 +444,17 @@ def crawl(
         frontier = catalog.read_table(spark, "frontier", resumed_from)
         if "redirects" not in frontier.columns:  # pre-contract-v2 checkpoint
             frontier = frontier.withColumn("redirects", F.lit(0))
+        if "verb" not in frontier.columns:  # pre-contract-v3 checkpoint
+            frontier = frontier.withColumn("verb", F.lit("GET")).withColumn(
+                "post_data", F.lit("")
+            )
         frontier = frontier.localCheckpoint(eager=True)
-        seen = catalog.read_table(spark, "seen", resumed_from).localCheckpoint(eager=True)
+        seen = catalog.read_table(spark, "seen", resumed_from)
+        if "verb" not in seen.columns:  # pre-contract-v3 checkpoint
+            seen = seen.withColumn("verb", F.lit("GET")).withColumn(
+                "post_data", F.lit("")
+            )
+        seen = seen.localCheckpoint(eager=True)
         if cfg.use_bloom:
             shards = catalog.read_table(spark, "shards", resumed_from)
             shards = shards.localCheckpoint(eager=True)
@@ -450,7 +472,9 @@ def crawl(
         frontier = gated_seeds.filter("robots_allowed").select(*frontier_cols)
         frontier = frontier.localCheckpoint(eager=True)
 
-        seen = _with_identity(seeds_df.select("url"), cfg.n_shards).localCheckpoint(eager=True)
+        seen = _with_identity(
+            seeds_df.select("url", "verb", "post_data"), cfg.n_shards
+        ).localCheckpoint(eager=True)
         if cfg.use_bloom:
             shards = _merge_shards(spark, seen, None, cfg)
         wave = 0
@@ -535,7 +559,7 @@ def crawl(
         wave_logs.append(
             missing.select(
                 "url", "netloc", F.lit(wave).alias("wave"), "depth", "priority",
-                "referrer", F.lit(404).alias("status"),
+                "referrer", "verb", "post_data", F.lit(404).alias("status"),
                 F.lit(0).cast("long").alias("content_len"), F.lit(0).alias("n_links"),
             )
         )
@@ -549,13 +573,15 @@ def crawl(
         parsed = (
             fetched.filter(F.col("html").isNotNull())
             .select("url", "netloc", F.lit(wave).alias("wave"), "depth",
-                    "priority", "referrer", "redirects", "html")
+                    "priority", "referrer", "redirects", "verb", "post_data",
+                    "html")
             .mapInPandas(parse_pages_batch, PARSED_SCHEMA)
         ).persist()
 
         wave_logs.append(
             parsed.select(
                 "url", "netloc", "wave", "depth", "priority", "referrer",
+                "verb", "post_data",
                 F.lit(200).alias("status"), "content_len", "n_links",
             )
         )
@@ -573,6 +599,27 @@ def crawl(
                 F.col("url").alias("referrer"),
                 (F.col("depth") + 1).alias("depth"),
                 F.lit(0).alias("redirects"),
+                F.lit("GET").alias("verb"),
+                F.lit("").alias("post_data"),
+            )
+        )
+        # method=post forms become POST requests (CONTRACT v3): identity is
+        # (verb, url, post_data), so a POSTed url is crawled independently
+        # of its GET twin
+        form_cand = (
+            parsed.filter(
+                (F.size("post_forms") > 0) & (F.col("depth") + 1 <= cfg.max_depth)
+            )
+            .select(
+                F.col("url").alias("referrer"),
+                (F.col("depth") + 1).alias("depth"),
+                F.explode("post_forms").alias("f"),
+            )
+            .select(
+                F.col("f.url").alias("url"), "referrer", "depth",
+                F.lit(0).alias("redirects"),
+                F.lit("POST").alias("verb"),
+                F.col("f.data").alias("post_data"),
             )
         )
         has_redirect = parsed.filter(F.col("redirect").isNotNull())
@@ -583,6 +630,8 @@ def crawl(
                 F.col("url").alias("referrer"),
                 F.col("depth").alias("depth"),
                 (F.col("redirects") + 1).alias("redirects"),
+                F.lit("GET").alias("verb"),
+                F.lit("").alias("post_data"),
             )
         )
         wave_findings.append(
@@ -594,7 +643,7 @@ def crawl(
             )
         )
         cand = (
-            out_cand.unionByName(red_cand)
+            out_cand.unionByName(red_cand).unionByName(form_cand)
             .withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("")))
             .filter(~F.lower("path").rlike(_EXT_PATTERN))
             .withColumn("netloc", F.parse_url("url", F.lit("HOST")))
@@ -605,10 +654,12 @@ def crawl(
             else cand.filter(F.col("netloc").isin(allowed))
         )
         cand = (
-            cand.groupBy("url", "netloc")
+            # dedup by request IDENTITY (verb, url, post_data) — contract v3
+            cand.groupBy("url", "netloc", "verb", "post_data")
             .agg(F.min(F.struct("depth", "referrer", "redirects")).alias("m"))
             .select(
-                "url", "netloc", F.col("m.depth").alias("depth"),
+                "url", "netloc", "verb", "post_data",
+                F.col("m.depth").alias("depth"),
                 F.col("m.depth").cast("double").alias("priority"),
                 F.col("m.referrer").alias("referrer"),
                 F.col("m.redirects").alias("redirects"),
@@ -620,7 +671,10 @@ def crawl(
         if cfg.use_bloom and shards is not None:
             new, new_shards, fused_handle = _probe_and_absorb(cand, seen, shards, cfg)
         else:
-            new = cand.join(seen.select("url"), "url", "left_anti")
+            new = cand.join(
+                seen.select("verb", "url", "post_data"),
+                ["verb", "url", "post_data"], "left_anti",
+            )
             new_shards = None
 
         gated = _robots_gate(
@@ -644,7 +698,7 @@ def crawl(
         # of mostly-idle barrier time per wave; in parallel, max(latencies).
         new_frontier_rows = gated.filter("robots_allowed").select(*frontier_cols)
         frontier_next = remainder.select(*frontier_cols).unionByName(new_frontier_rows)
-        new_seen = gated.select("url", "url_hash", "shard")
+        new_seen = gated.select("url", "verb", "post_data", "url_hash", "shard")
         seen_next = seen.unionByName(new_seen)
         log_delta = _union_all(wave_logs, empty_log)
         findings_delta = _union_all(wave_findings, empty_findings)
@@ -771,11 +825,16 @@ def _elect(frontier: DataFrame, budgets: DataFrame, cfg: CrawlConfig):
     over = over.withColumn(
         "salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int")
     )
-    w1 = Window.partitionBy("netloc", "salt").orderBy("priority", "url")
+    # total crawl order (contract v3): (priority, url, verb, post_data)
+    w1 = Window.partitionBy("netloc", "salt").orderBy(
+        "priority", "url", "verb", "post_data"
+    )
     over = over.withColumn("rk1", F.row_number().over(w1))
     surv = over.filter(F.col("rk1") <= F.col("budget"))
     spill0 = over.filter(F.col("rk1") > F.col("budget"))
-    w2 = Window.partitionBy("netloc").orderBy("priority", "url")
+    w2 = Window.partitionBy("netloc").orderBy(
+        "priority", "url", "verb", "post_data"
+    )
     surv = surv.withColumn("rk2", F.row_number().over(w2))
     elected_ranked = surv.filter(F.col("rk2") <= F.col("budget")).drop(
         "budget", "n_pending", "salt", "rk1", "rk2"
@@ -822,17 +881,6 @@ def _robots_gate(df: DataFrame, rules: DataFrame, passthrough: list[str]) -> Dat
     )
 
 
-_SPARK_TYPES = {
-    "url": "string",
-    "netloc": "string",
-    "depth": "int",
-    "priority": "double",
-    "referrer": "string",
-    "url_hash": "long",
-    "shard": "int",
-}
-
-
 def _probe_and_absorb(
     cand: DataFrame, seen: DataFrame, shards: DataFrame, cfg: CrawlConfig
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -850,7 +898,10 @@ def _probe_and_absorb(
     probed = fused.filter(F.col("kind") == 0).select(*_CAND_COLS, "maybe_seen")
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed_new = maybe.join(seen.select("url"), "url", "left_anti")
+    confirmed_new = maybe.join(
+        seen.select("verb", "url", "post_data"),
+        ["verb", "url", "post_data"], "left_anti",
+    )
     return definitely_new.unionByName(confirmed_new), new_shards, fused
 
 
@@ -965,14 +1016,23 @@ def forget_urls(
     Unaffected shards pass through untouched. Returns (seen, shards)."""
     spark = seen.sparkSession
     canon = sorted({u for u in (canonicalize(u) for u in urls) if u})
-    to_del = _with_identity(
-        spark.createDataFrame([(u,) for u in canon], "url string"), cfg.n_shards
+    to_del = spark.createDataFrame([(u,) for u in canon], "url string")
+    # affected shards come from the seen rows themselves: forgetting a url
+    # forgets EVERY request identity of it (GET and any POSTs), and those
+    # identities hash to different shards (contract v3). Collected to a
+    # literal frame — it is tiny (<= n_shards rows) and deriving it lazily
+    # from `seen` makes every later join with new_seen an ambiguous
+    # self-join (both sides would carry seen's own `shard` attribute).
+    affected_ids = sorted(
+        r["shard"]
+        for r in seen.join(to_del, "url", "left_semi")
+        .select("shard").distinct().collect()
     )
-    new_seen = seen.join(to_del.select("url"), "url", "left_anti")
+    affected = spark.createDataFrame([(s,) for s in affected_ids], "shard int")
+    new_seen = seen.join(to_del, "url", "left_anti")
     new_seen = new_seen.localCheckpoint(eager=True)
     if shards is None:
         return new_seen, None
-    affected = to_del.select("shard").distinct()
     kept = shards.join(affected, "shard", "left_anti")
     rebuilt = (
         new_seen.join(affected, "shard", "left_semi")

@@ -53,6 +53,11 @@ class _PageParser(HTMLParser):
         self.title_parts: list[str] = []
         self.meta_description: str | None = None
         self.refresh: str | None = None
+        # (action, serialized-fields) per method=post form; the reference's
+        # Request carries a verb + post data (SURVEY.md §1.1), so POST forms
+        # become POST requests rather than plain links (CRAWL CONTRACT v3)
+        self.post_forms: list[tuple[str, str]] = []
+        self._form: list | None = None  # open post form: [action, fields]
         self._skip_depth = 0
         self._in_title = False
 
@@ -61,6 +66,20 @@ class _PageParser(HTMLParser):
             self._skip_depth += 1
         if tag == "title":
             self._in_title = True
+        if tag == "form":
+            d = dict(attrs)
+            if (d.get("method") or "get").strip().lower() == "post":
+                # POST form: its action is a request with verb+body, NOT a
+                # plain link — skip the generic link-attr handling below
+                self._form = [d.get("action") or "", []]
+                return
+            self._form = None  # a non-post form closes any open post scope
+        elif self._form is not None and tag in ("input", "select", "textarea",
+                                                "button"):
+            d = dict(attrs)
+            if d.get("name") is not None:
+                # named controls in document order, value attr or ''
+                self._form[1].append(f"{d['name']}={d.get('value') or ''}")
         for attr_name in _LINK_ATTRS.get(tag, ()):
             for name, value in attrs:
                 if name == attr_name and value:
@@ -86,6 +105,10 @@ class _PageParser(HTMLParser):
             self._skip_depth -= 1
         if tag == "title":
             self._in_title = False
+        if tag == "form" and self._form is not None:
+            action, fields = self._form
+            self.post_forms.append((action, "&".join(fields)))
+            self._form = None
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         self.handle_starttag(tag, attrs)
@@ -127,6 +150,7 @@ def parse_page(html: bytes | str | None) -> dict:
         "title": title,
         "meta_description": parser.meta_description,
         "refresh": parser.refresh,
+        "post_forms": parser.post_forms,
     }
 
 
@@ -157,21 +181,27 @@ PARSED_COLUMNS = [
     "priority",
     "referrer",
     "redirects",
+    "verb",
+    "post_data",
     "outlinks",
     "extracted_text",
     "title",
     "meta_description",
     "comments",
     "redirect",
+    "post_forms",
     "n_links",
     "content_len",
 ]
 
 PARSED_SCHEMA = (
     "url string, netloc string, wave int, depth int, priority double, "
-    "referrer string, redirects int, outlinks array<string>, "
+    "referrer string, redirects int, verb string, post_data string, "
+    "outlinks array<string>, "
     "extracted_text string, title string, meta_description string, "
-    "comments array<string>, redirect string, n_links int, content_len long"
+    "comments array<string>, redirect string, "
+    "post_forms array<struct<url:string,data:string>>, "
+    "n_links int, content_len long"
 )
 
 
@@ -189,9 +219,11 @@ def parse_pages_batch(
     """
     for pdf in batches:
         rows = []
-        for url, netloc, wave, depth, priority, referrer, redirects, html in zip(
+        for url, netloc, wave, depth, priority, referrer, redirects, verb, \
+                post_data, html in zip(
             pdf["url"], pdf["netloc"], pdf["wave"], pdf["depth"],
-            pdf["priority"], pdf["referrer"], pdf["redirects"], pdf["html"]
+            pdf["priority"], pdf["referrer"], pdf["redirects"],
+            pdf["verb"], pdf["post_data"], pdf["html"]
         ):
             parsed = parse_page(html)
             outlinks = []
@@ -203,6 +235,13 @@ def parse_pages_batch(
                 resolve_link(url, parsed["refresh"]) or None
                 if parsed["refresh"] else None
             )
+            # POST form requests: empty action posts back to the page
+            # itself (golden.py applies the identical rule)
+            post_forms = []
+            for action, data in parsed["post_forms"]:
+                t = resolve_link(url, action) if action else url
+                if t:
+                    post_forms.append({"url": t, "data": data})
             rows.append(
                 (
                     url,
@@ -212,12 +251,15 @@ def parse_pages_batch(
                     priority,
                     referrer,
                     redirects,
+                    verb,
+                    post_data,
                     outlinks,
                     parsed["text"],
                     parsed["title"],
                     parsed["meta_description"],
                     parsed["comments"],
                     redirect,
+                    post_forms,
                     len(outlinks),
                     len(html) if html is not None else 0,
                 )

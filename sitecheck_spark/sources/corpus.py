@@ -190,6 +190,28 @@ def _page_html(seed: int, host: str, idx: int, n_host_pages: int, version: int,
         f'<a href="{href}">link {i}</a>' for i, href in enumerate(links)
     )
 
+    # Deterministic forms (idx arithmetic, NO rng consumed — earlier pages'
+    # random streams are unchanged). Every 7th page posts to a sibling page
+    # (exercises the verb/post_data request path, CRAWL CONTRACT v3); every
+    # 7th+5 page gets a GET search form, whose action behaves as a link.
+    form_html = ""
+    if idx % 7 == 2:
+        tgt = (idx * 3) % n_host_pages
+        priv = "private" if _is_private(host, tgt) else "p"
+        form_html = (
+            f'<form method="post" action="/{priv}/{tgt}.html">'
+            f'<input type="hidden" name="page" value="{idx}">'
+            f'<input type="text" name="q" value="find">'
+            f'<input type="submit" value="go"></form>'
+        )
+    elif idx % 7 == 5:
+        tgt = (idx * 5) % n_host_pages
+        priv = "private" if _is_private(host, tgt) else "p"
+        form_html = (
+            f'<form method="get" action="/{priv}/{tgt}.html">'
+            f'<input name="s" value="1"></form>'
+        )
+
     comments = [f"<!-- generated page {idx} v{version} -->"]
     if rng.random() < 0.15:
         marker = rng.choice(SENSITIVE_COMMENT_MARKERS)
@@ -218,6 +240,7 @@ def _page_html(seed: int, host: str, idx: int, n_host_pages: int, version: int,
 <h1>Page {idx}</h1>
 <p>{body_text}</p>
 {anchors}
+{form_html}
 {comments[1] if len(comments) > 1 else ""}
 <img src="/assets/logo-{idx % 7}.png" alt="logo">
 <script>var x = {idx};</script>

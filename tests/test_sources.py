@@ -56,3 +56,4 @@ def test_write_reports(spark, tmp_path):
     back = spark.read.parquet(os.path.join(out, "findings"))
     assert back.count() == res.findings.count()
     assert "module" in back.columns  # partition column round-trips
+    res.release()  # cached wave state must not leak into later tests
