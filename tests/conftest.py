@@ -31,4 +31,19 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _sweep_caches_between_modules(spark):
+    """Backstop against cross-module cache leaks: crawl tests localCheckpoint
+    per-wave state, and anything left unreleased accumulates in the one
+    session JVM until a late-running module dies with page-allocation
+    failures (the round-2/3 full-suite flake). Releasing is each test's job;
+    this sweeps whatever slipped through once per module."""
+    import gc
+
+    yield
+    spark.catalog.clearCache()
+    gc.collect()  # drop py refs -> ContextCleaner can free checkpoint RDDs
+    spark.sparkContext._jvm.System.gc()
+
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -56,7 +56,10 @@ def engine(spark, corpus_pdf):
         n_shards=4,
         salt_buckets=2,
     )
-    return crawl(spark, pages, make_seeds_pdf().url.tolist(), cfg, dictionary=dictionary)
+    res = crawl(spark, pages, make_seeds_pdf().url.tolist(), cfg,
+                dictionary=dictionary)
+    yield res
+    res.release()  # cached wave state must not leak into later modules
 
 
 def test_generator_invariants(corpus_pdf):

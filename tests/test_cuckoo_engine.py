@@ -34,6 +34,8 @@ def test_cuckoo_crawl_equals_bloom_crawl(spark, pages):
     assert {r["url"] for r in bloom.seen.collect()} == {
         r["url"] for r in cuckoo.seen.collect()
     }
+    bloom.release()
+    cuckoo.release()
 
 
 def _retained_never_forgotten(seen2, shards2):
@@ -63,6 +65,7 @@ def test_forget_urls_enables_recrawl(spark, pages):
     assert res.seen.filter(res.seen.url == victim).count() == 1
     assert shards2.count() == shards.count()
     _retained_never_forgotten(seen2, shards2)
+    res.release()
 
 
 def test_forget_on_bloom_rebuilds(spark, pages):
@@ -79,6 +82,7 @@ def test_forget_on_bloom_rebuilds(spark, pages):
     assert seen2.filter(seen2.url == victim).count() == 0
     assert shards2.count() == shards.count()
     _retained_never_forgotten(seen2, shards2)
+    res.release()
 
 
 def test_cuckoo_saturation_never_false_negative():

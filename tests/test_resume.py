@@ -53,6 +53,8 @@ def test_kill_and_resume_equals_uninterrupted(spark, pages, tmp_path):
     resumed = crawl(spark, pages, seeds, _cfg(checkpoint_dir=ckpt))
     assert _summary(resumed) == _summary(baseline)
     assert resumed.waves == baseline.waves
+    for res in (baseline, partial, resumed):
+        res.release()
 
 
 def test_resume_of_finished_crawl_is_noop(spark, pages, tmp_path):
@@ -61,12 +63,14 @@ def test_resume_of_finished_crawl_is_noop(spark, pages, tmp_path):
     first = crawl(spark, pages, seeds, _cfg(max_waves=2, checkpoint_dir=ckpt))
     again = crawl(spark, pages, seeds, _cfg(max_waves=2, checkpoint_dir=ckpt))
     assert _summary(again) == _summary(first)
+    first.release()
+    again.release()
 
 
 def test_manifest_records_lineage_and_metrics(spark, pages, tmp_path):
     seeds = make_seeds_pdf().url.tolist()
     ckpt = str(tmp_path / "ckpt3")
-    crawl(spark, pages, seeds, _cfg(max_waves=2, checkpoint_dir=ckpt))
+    crawl(spark, pages, seeds, _cfg(max_waves=2, checkpoint_dir=ckpt)).release()
     m = WaveCatalog(ckpt).read_manifest()
     assert m["committed_wave"] == 1
     for wave in ("0", "1"):
