@@ -26,6 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 HEADLINE = [
     "q_join_orders_customer",
@@ -104,15 +105,27 @@ def bench_crawl(spark: SparkSession, n_pages: int, max_waves: int) -> dict:
     )
     t0 = time.time()
     res = crawl(spark, pages, seeds, cfg, dictionary=dictionary)
-    n_urls = res.fetch_log.count()
-    n_findings = res.findings.count()
+    # verb split recorded so corpus growth (contract-v3 POST forms) is
+    # separable from engine regression without reading BASELINE.md prose
+    verb_counts = {
+        r["verb"]: r["n"]
+        for r in res.fetch_log.groupBy("verb").agg(F.count("*").alias("n")).collect()
+    }
+    n_urls = sum(verb_counts.values())
+    findings_by_module = {
+        r["module"]: r["n"]
+        for r in res.findings.groupBy("module").agg(F.count("*").alias("n")).collect()
+    }
+    n_findings = sum(findings_by_module.values())
     secs = time.time() - t0
     res.release()
     return {
         "corpus_gen_sec": gen_sec,
         "crawl_sec": round(secs, 2),
         "crawl_urls": n_urls,
+        "crawl_post_requests": verb_counts.get("POST", 0),
         "crawl_findings": n_findings,
+        "crawl_findings_by_module": findings_by_module,
         "crawl_waves": res.waves,
         "crawl_urls_per_sec": round(n_urls / secs, 1),
     }

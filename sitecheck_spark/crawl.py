@@ -1,6 +1,8 @@
 """The crawl engine: BFS URL-frontier as iterative DataFrame programs.
 
-Implements CRAWL CONTRACT v2 (golden.py) Spark-first (SURVEY.md §3.2):
+Implements CRAWL CONTRACT v3 (golden.py) Spark-first (SURVEY.md §3.2):
+request identity is the (verb, url, post_data) triple — method=post forms
+become POST requests crawled independently of their GET twins.
 
     seeds -> frontier(wave 0)
     per wave:
@@ -78,6 +80,13 @@ class CrawlConfig:
     bloom_hashes: int = 7
     cuckoo_buckets: int = 1 << 13      # per shard; power of two, 4 slots each
     checkpoint_dir: str | None = None  # enables resumable mode (catalog.py)
+    # Resumable mode commits `seen` as per-wave DELTAS (this wave's new
+    # requests) with a full compaction snapshot every k waves: per-wave
+    # checkpoint I/O is O(new urls) instead of O(|seen|), and resume reads
+    # at most k-1 deltas on top of the newest snapshot. At a 10^10-URL
+    # frontier the cumulative seen dwarfs any single wave's delta — full
+    # per-wave snapshots were the one super-linear-in-waves checkpoint cost.
+    seen_compact_every: int = 16
     # Set when `pages` carries catalog.PAGES_BUCKET_COL (write_pages_bucketed
     # layout): the fetch join adds the bucket key so the scan prunes to the
     # partitions holding elected urls (dynamic partition pruning). MUST match
@@ -449,15 +458,34 @@ def crawl(
                 "post_data", F.lit("")
             )
         frontier = frontier.localCheckpoint(eager=True)
-        seen = catalog.read_table(spark, "seen", resumed_from)
-        if "verb" not in seen.columns:  # pre-contract-v3 checkpoint
-            seen = seen.withColumn("verb", F.lit("GET")).withColumn(
-                "post_data", F.lit("")
-            )
+        seen = catalog.read_state(spark, "seen", resumed_from)
+        ck_cfg = (catalog.read_manifest() or {}).get("config", {})
+        # Shard bits are only reusable if they were built under the SAME
+        # identity hash, shard modulus, and filter kind as this run probes
+        # with; otherwise probe false-negatives skip the exact anti-join
+        # and silently re-enqueue crawled urls. Old manifests lack the
+        # keys -> assume compatible (pre-guard behavior).
+        rebuild_shards = (
+            ck_cfg.get("n_shards", cfg.n_shards) != cfg.n_shards
+            or ck_cfg.get("filter_kind", cfg.filter_kind) != cfg.filter_kind
+            or not catalog.has_table("shards", resumed_from)
+        )
+        if "verb" not in seen.columns:
+            # pre-contract-v3 checkpoint: the stored url_hash/shard (and
+            # the bloom bits built from them) hash the URL ALONE; v3
+            # identity is xxhash64(verb, url, post_data). Migrating by
+            # defaulting verb/post_data but keeping stale hashes would
+            # false-negative every bloom probe — drop and recompute the
+            # identity, then rebuild the shards from the exact seen set.
+            seen = _with_identity(seen.drop("url_hash", "shard"), cfg.n_shards)
+            rebuild_shards = True
         seen = seen.localCheckpoint(eager=True)
         if cfg.use_bloom:
-            shards = catalog.read_table(spark, "shards", resumed_from)
-            shards = shards.localCheckpoint(eager=True)
+            if rebuild_shards:
+                shards = _merge_shards(spark, seen, None, cfg)
+            else:
+                shards = catalog.read_table(spark, "shards", resumed_from)
+                shards = shards.localCheckpoint(eager=True)
         wave = resumed_from + 1
     else:
         # Gate the seeds (wave 0 of the contract).
@@ -744,7 +772,13 @@ def crawl(
         metrics.append(wave_metrics)
 
         if catalog is not None:
-            state = {"frontier": frontier, "seen": seen}
+            # seen commits as this wave's DELTA (new_seen), with a full
+            # compaction snapshot every seen_compact_every waves; frontier
+            # and shards stay full-state (frontier is the small active set,
+            # shards a fixed count of fixed-size filters). Wave 0 lands on
+            # the compaction branch, so a delta chain always has a base.
+            compact = wave % cfg.seen_compact_every == 0
+            state = {"frontier": frontier, "seen": seen if compact else new_seen}
             if shards is not None:
                 state["shards"] = shards
             catalog.commit_wave(
@@ -752,7 +786,10 @@ def crawl(
                 {"fetch_log": log_delta, "findings": findings_delta},
                 metrics=wave_metrics,
                 config={"budget_per_host": cfg.budget_per_host,
-                        "max_depth": cfg.max_depth, "seeds": seed_canon},
+                        "max_depth": cfg.max_depth, "seeds": seed_canon,
+                        "n_shards": cfg.n_shards,
+                        "filter_kind": cfg.filter_kind},
+                state_kinds={"seen": "full" if compact else "delta"},
             )
 
         elected.unpersist()
@@ -1017,22 +1054,24 @@ def forget_urls(
     spark = seen.sparkSession
     canon = sorted({u for u in (canonicalize(u) for u in urls) if u})
     to_del = spark.createDataFrame([(u,) for u in canon], "url string")
+    new_seen = seen.join(to_del, "url", "left_anti")
+    new_seen = new_seen.localCheckpoint(eager=True)
+    if shards is None:
+        return new_seen, None
     # affected shards come from the seen rows themselves: forgetting a url
     # forgets EVERY request identity of it (GET and any POSTs), and those
     # identities hash to different shards (contract v3). Collected to a
     # literal frame — it is tiny (<= n_shards rows) and deriving it lazily
     # from `seen` makes every later join with new_seen an ambiguous
     # self-join (both sides would carry seen's own `shard` attribute).
+    # Collected only on the shard path: the bloom-disabled caller returns
+    # above without paying this job.
     affected_ids = sorted(
         r["shard"]
         for r in seen.join(to_del, "url", "left_semi")
         .select("shard").distinct().collect()
     )
     affected = spark.createDataFrame([(s,) for s in affected_ids], "shard int")
-    new_seen = seen.join(to_del, "url", "left_anti")
-    new_seen = new_seen.localCheckpoint(eager=True)
-    if shards is None:
-        return new_seen, None
     kept = shards.join(affected, "shard", "left_anti")
     rebuilt = (
         new_seen.join(affected, "shard", "left_semi")

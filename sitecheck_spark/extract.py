@@ -67,13 +67,16 @@ class _PageParser(HTMLParser):
         if tag == "title":
             self._in_title = True
         if tag == "form":
+            # HTML forbids nested forms; browsers implicitly terminate the
+            # open form at the next <form>. Emit the open post form rather
+            # than silently discarding its request.
+            self._close_form()
             d = dict(attrs)
             if (d.get("method") or "get").strip().lower() == "post":
                 # POST form: its action is a request with verb+body, NOT a
                 # plain link — skip the generic link-attr handling below
                 self._form = [d.get("action") or "", []]
                 return
-            self._form = None  # a non-post form closes any open post scope
         elif self._form is not None and tag in ("input", "select", "textarea",
                                                 "button"):
             d = dict(attrs)
@@ -100,20 +103,29 @@ class _PageParser(HTMLParser):
                         self.refresh = p[4:].strip().strip("'\"")
                         break
 
+    def _close_form(self) -> None:
+        if self._form is not None:
+            action, fields = self._form
+            self.post_forms.append((action, "&".join(fields)))
+            self._form = None
+
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_CONTENT and self._skip_depth > 0:
             self._skip_depth -= 1
         if tag == "title":
             self._in_title = False
-        if tag == "form" and self._form is not None:
-            action, fields = self._form
-            self.post_forms.append((action, "&".join(fields)))
-            self._form = None
+        if tag == "form":
+            self._close_form()
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         self.handle_starttag(tag, attrs)
         if tag in _SKIP_CONTENT and self._skip_depth > 0:
             self._skip_depth -= 1
+        if tag == "form":
+            # a self-closing <form .../> opens AND closes in one token —
+            # without this, an open post form would absorb later named
+            # inputs and emit a phantom request at the next </form>
+            self._close_form()
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth == 0 and data:

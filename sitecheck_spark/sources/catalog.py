@@ -1,9 +1,11 @@
 """Wave-checkpoint catalog: atomic commits + resume-exactly (SURVEY.md §3.2 S4/R3).
 
 The reference suspends/resumes by pickling its queue + seen set (SURVEY.md
-§1.1). Here every crawl wave commits its full post-wave state — frontier,
-seen, bloom shards — plus this wave's fetch-log/findings deltas and metrics,
-with lineage recorded per table.
+§1.1). Here every crawl wave commits its post-wave state — frontier and
+bloom shards full-state (small), `seen` as a per-wave DELTA with a periodic
+full compaction snapshot (the cumulative seen is the one state table that
+grows without bound; see commit_wave/read_state) — plus this wave's
+fetch-log/findings deltas and metrics, with lineage recorded per table.
 
 Commit protocol (works on any rename-atomic filesystem; the seam where an
 Iceberg catalog drops in — snapshot commit replaces the manifest rename, and
@@ -143,11 +145,37 @@ class WaveCatalog:
         if os.path.exists(dest):  # orphan from a killed uncommitted wave
             shutil.rmtree(dest)
         os.rename(tmp, dest)
-        n_files = sum(1 for f in os.listdir(dest) if f.endswith(".parquet"))
-        return {"path": dest, "n_files": n_files}
+        sizes = [
+            e.stat().st_size for e in os.scandir(dest) if e.name.endswith(".parquet")
+        ]
+        return {"path": dest, "n_files": len(sizes), "bytes": sum(sizes)}
 
     def read_table(self, spark: SparkSession, name: str, wave: int) -> DataFrame:
         return spark.read.parquet(self._table_dir(name, wave))
+
+    def has_table(self, name: str, wave: int) -> bool:
+        m = self.read_manifest() or {}
+        return name in m.get("waves", {}).get(str(wave), {}).get("lineage", {})
+
+    def read_state(self, spark: SparkSession, name: str, wave: int) -> DataFrame:
+        """Full state of `name` as of `wave`: the newest kind="full" snapshot
+        at or before `wave`, unioned with every kind="delta" commit after it
+        (delta rows are disjoint by construction, so plain union IS the
+        state). Tables committed full-state every wave — frontier, shards,
+        and every pre-delta-era checkpoint (lineage entries without a
+        "kind") — degrade to a single-path read."""
+        m = self.read_manifest() or {"waves": {}}
+        paths: list[str] = []
+        for k in range(wave, -1, -1):
+            ent = m["waves"].get(str(k), {}).get("lineage", {}).get(name)
+            if ent is None:
+                continue
+            paths.append(ent["path"])
+            if ent.get("kind", "full") == "full":
+                break
+        if not paths:  # manifest predates lineage bookkeeping
+            return self.read_table(spark, name, wave)
+        return spark.read.parquet(*reversed(paths))
 
     def read_deltas_through(self, spark: SparkSession, name: str, wave: int) -> DataFrame:
         paths = [self._table_dir(name, k) for k in range(wave + 1)]
@@ -163,10 +191,18 @@ class WaveCatalog:
         deltas: dict[str, DataFrame],
         metrics: dict | None = None,
         config: dict | None = None,
+        state_kinds: dict[str, str] | None = None,
     ) -> None:
+        """state_kinds marks a state table's commit as "full" (default) or
+        "delta" (this wave's new rows only; read back via read_state).
+        Delta commits keep per-wave checkpoint I/O O(wave delta) instead of
+        O(cumulative state) — the difference between linear and quadratic
+        total checkpoint bytes over a long crawl."""
         lineage: dict[str, dict] = {}
         for name, df in state.items():
-            lineage[name] = self._write_table(df, name, wave)
+            ent = self._write_table(df, name, wave)
+            ent["kind"] = (state_kinds or {}).get(name, "full")
+            lineage[name] = ent
         for name, df in deltas.items():
             lineage[f"{name}_delta"] = self._write_table(df, name, wave)
 

@@ -70,3 +70,31 @@ def test_post_form_empty_action_and_no_fields():
     assert p["post_forms"] == [("", "")]
     p2 = parse_page('<form method="post" action="/a"></form><form method="post" action="/b"><input name="k" value="v"></form>')
     assert p2["post_forms"] == [("/a", ""), ("/b", "k=v")]
+
+
+def test_self_closing_post_form_does_not_absorb_later_inputs():
+    # <form method=post .../> opens AND closes in one token: it must not
+    # stay open, absorb unrelated named inputs, or emit a phantom request
+    # at a later unmatched </form>
+    p = parse_page(
+        '<form method="post" action="/ping.html"/>'
+        '<input name="stray" value="x">'
+        '</form>'
+    )
+    assert p["post_forms"] == [("/ping.html", "")]
+
+
+def test_nested_form_emits_open_post_form():
+    # HTML forbids nested forms; a new <form> implicitly terminates the
+    # open one. The outer post form's request must be emitted, not dropped.
+    p = parse_page(
+        '<form method="post" action="/outer.html"><input name="a" value="1">'
+        '<form action="/inner.html"><input name="b" value="2"></form>'
+    )
+    assert p["post_forms"] == [("/outer.html", "a=1")]
+    # nested POST inside POST: both requests survive
+    p2 = parse_page(
+        '<form method="post" action="/o.html"><input name="a" value="1">'
+        '<form method="post" action="/i.html"><input name="b" value="2"></form>'
+    )
+    assert p2["post_forms"] == [("/o.html", "a=1"), ("/i.html", "b=2")]

@@ -79,3 +79,151 @@ def test_manifest_records_lineage_and_metrics(spark, pages, tmp_path):
                 "findings_delta"} <= set(lin)
         assert all(v["n_files"] >= 1 for v in lin.values())
         assert "n_frontier_next" in m["waves"][wave]["metrics"]
+
+
+def test_seen_commits_are_deltas(spark, pages, tmp_path):
+    """Per-wave seen checkpoints are O(delta), not O(cumulative): each
+    committed seen table holds only that wave's new requests, the deltas
+    partition the final seen set, and the manifest records kind + bytes."""
+    seeds = make_seeds_pdf().url.tolist()
+    ckpt = str(tmp_path / "ckpt_delta")
+    res = crawl(spark, pages, seeds, _cfg(checkpoint_dir=ckpt))
+    cat = WaveCatalog(ckpt)
+    m = cat.read_manifest()
+    last = m["committed_wave"]
+    assert last >= 2  # need a real delta chain to make the point
+
+    total_rows, seen_urls = 0, set()
+    for k in range(last + 1):
+        ent = m["waves"][str(k)]["lineage"]["seen"]
+        assert ent["kind"] == ("full" if k == 0 else "delta")
+        assert ent["bytes"] > 0
+        rows = spark.read.parquet(ent["path"]).collect()
+        total_rows += len(rows)
+        seen_urls |= {(r["verb"], r["url"], r["post_data"]) for r in rows}
+    final = {(r["verb"], r["url"], r["post_data"]) for r in res.seen.collect()}
+    # disjoint deltas that exactly cover the final seen set
+    assert total_rows == len(seen_urls) == len(final)
+    assert seen_urls == final
+    # and read_state reconstructs the full state at the last wave
+    assert cat.read_state(spark, "seen", last).count() == len(final)
+    res.release()
+
+
+def test_seen_compaction_snapshot(spark, pages, tmp_path):
+    """seen_compact_every=2: full snapshots at waves 0/2/4, deltas between;
+    resume reads snapshot + at most one delta."""
+    seeds = make_seeds_pdf().url.tolist()
+    ckpt = str(tmp_path / "ckpt_compact")
+    baseline = crawl(spark, pages, seeds, _cfg())
+    partial = crawl(
+        spark, pages, seeds,
+        _cfg(max_waves=4, checkpoint_dir=ckpt, seen_compact_every=2),
+    )
+    m = WaveCatalog(ckpt).read_manifest()
+    kinds = {
+        k: v["lineage"]["seen"]["kind"] for k, v in m["waves"].items()
+    }
+    assert kinds == {"0": "full", "1": "delta", "2": "full", "3": "delta"}
+    resumed = crawl(
+        spark, pages, seeds, _cfg(checkpoint_dir=ckpt, seen_compact_every=2)
+    )
+    assert _summary(resumed) == _summary(baseline)
+    for res in (baseline, partial, resumed):
+        res.release()
+
+
+def test_pre_v3_checkpoint_resume_rebuilds_identity_and_shards(
+    spark, pages, tmp_path
+):
+    """ADVICE r3 (high): a pre-contract-v3 checkpoint stores seen with
+    url-only hashes and bloom shards built from them. Migrating by
+    defaulting verb/post_data while KEEPING those hashes makes every v3
+    probe (xxhash64(verb,url,post_data)) a bloom false-negative, silently
+    re-enqueueing crawled urls. Resume must recompute identities and
+    rebuild shards — no request may ever be fetched twice."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    seeds = make_seeds_pdf().url.tolist()
+    ckpt = str(tmp_path / "ckpt_prev3")
+    crawl(
+        spark, pages, seeds, _cfg(max_waves=2, checkpoint_dir=ckpt)
+    ).release()
+    cat = WaveCatalog(ckpt)
+    assert cat.last_committed_wave() == 1
+
+    # Rewrite the checkpoint into pre-v3 shape: one row per url, url-only
+    # hash, no verb/post_data; shards rebuilt from those stale hashes.
+    from sitecheck_spark.crawl import _make_merge_fn, _SHARDS_SCHEMA
+
+    cfg = _cfg()
+    stale_seen = (
+        cat.read_state(spark, "seen", 1)
+        .select("url").distinct()
+        .withColumn("url_hash", F.xxhash64("url"))
+        .withColumn(
+            "shard", F.pmod(F.col("url_hash"), F.lit(cfg.n_shards)).cast("int")
+        )
+        .localCheckpoint(eager=True)
+    )
+    stale_shards = (
+        stale_seen.select("shard", "url_hash")
+        .groupby("shard")
+        .cogroup(spark.createDataFrame([], _SHARDS_SCHEMA).groupby("shard"))
+        .applyInPandas(_make_merge_fn(cfg), _SHARDS_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+    m = cat.read_manifest()
+
+    def _rewrite(path, df):
+        tmp = path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    # a pre-v3 engine had no POST requests anywhere: strip them from the
+    # frontier (and drop its verb/post_data columns) and from the
+    # pre-kill fetch-log deltas, so the emulated checkpoint is one a
+    # pre-v3 engine could actually have written
+    front_path = m["waves"]["1"]["lineage"]["frontier"]["path"]
+    stale_frontier = (
+        spark.read.parquet(front_path)
+        .filter(F.col("verb") == "GET")
+        .drop("verb", "post_data")
+        .localCheckpoint(eager=True)
+    )
+    _rewrite(front_path, stale_frontier)
+    for k in ("0", "1"):
+        log_path = m["waves"][k]["lineage"]["fetch_log_delta"]["path"]
+        only_get = (
+            spark.read.parquet(log_path)
+            .filter(F.col("verb") == "GET")
+            .localCheckpoint(eager=True)
+        )
+        _rewrite(log_path, only_get)
+    for name, df in (("seen", stale_seen), ("shards", stale_shards)):
+        path = m["waves"]["1"]["lineage"][name]["path"]
+        _rewrite(path, df)
+        m["waves"]["1"]["lineage"][name]["kind"] = "full"
+    # pre-v3 manifests carried no identity-config keys
+    for key in ("n_shards", "filter_kind"):
+        m["config"].pop(key, None)
+    import json as _json
+
+    with open(os.path.join(ckpt, "manifest.json"), "w") as f:
+        _json.dump(m, f)
+
+    resumed = crawl(spark, pages, seeds, _cfg(checkpoint_dir=ckpt))
+    log = resumed.fetch_log.collect()
+    fetched = [(r["verb"], r["url"], r["post_data"]) for r in log]
+    # resume-exactly: every request identity fetched at most once across
+    # the pre-kill deltas and the resumed waves
+    assert len(fetched) == len(set(fetched))
+    # migrated identities are v3 hashes
+    bad = resumed.seen.filter(
+        F.col("url_hash") != F.xxhash64("verb", "url", "post_data")
+    ).count()
+    assert bad == 0
+    resumed.release()
