@@ -103,6 +103,7 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 8, dim: int = 64) -> DataF
 def lsh_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 3,
     n_planes: int | None = None, dim: int = 64, multi_probe: bool = False,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """ANN top-k restricted to same-LSH-bucket candidates.
 
@@ -120,11 +121,25 @@ def lsh_topk(
     0.20 -> 0.43. tests/test_operators.py::test_lsh_multi_probe_recall pins
     the ordering; README has the table.
 
-    n_planes=None (the default) sizes the signature from the corpus via
-    planes_for() — a parquet count(*) is footer-metadata-only, so the
-    sizing probe costs no data scan."""
+    n_planes=None (the default): WITH multi_probe the signature is sized
+    from the corpus via planes_for() — the Hamming-1 probes compensate the
+    recall each extra plane costs, so candidate volume stays
+    ~(n_planes+1)*target_bucket at any corpus size. Single-probe keeps a
+    FIXED 8 planes: growing planes with the corpus shrinks buckets and
+    drives single-probe recall well below the documented table, so
+    corpus-sized signatures without multi-probe are deliberately not
+    offered (pass n_planes explicitly to override).
+
+    n_vectors: optional corpus-size hint for the auto-sizing path. Without
+    it the operator issues embeddings.count() — footer-metadata-cheap on a
+    raw parquet scan, but a REAL scan when the input is derived (filter/
+    join/UDF upstream); thread the known count in for derived inputs."""
     if n_planes is None:
-        n_planes = planes_for(embeddings.count())
+        n_planes = (
+            planes_for(n_vectors if n_vectors is not None else embeddings.count())
+            if multi_probe
+            else 8
+        )
     corpus = lsh_bucket(embeddings, n_planes, dim)
     q = lsh_bucket(queries, n_planes, dim).select(
         F.col("vec_id").alias("query_id"),
@@ -161,6 +176,7 @@ def lsh_topk(
 
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95, n_planes: int | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
 
@@ -169,9 +185,15 @@ def embedding_near_dup_pairs(
     n / 2**planes — is the scale knob; the default keeps it near 256
     regardless of corpus size. Raising planes trades recall for join size;
     recover recall by unioning runs at shifted plane seeds rather than
-    shrinking planes."""
+    shrinking planes.
+
+    n_vectors: optional corpus-size hint — without it the sizing probe is
+    embeddings.count(), free on a raw parquet scan but a real scan on a
+    derived input (see lsh_topk)."""
     if n_planes is None:
-        n_planes = planes_for(embeddings.count())
+        n_planes = planes_for(
+            n_vectors if n_vectors is not None else embeddings.count()
+        )
     corpus = lsh_bucket(embeddings, n_planes=n_planes)
     a = corpus.alias("a")
     b = corpus.alias("b")

@@ -326,3 +326,29 @@ def test_pagerank_50_iterations_lineage_bounded(spark):
     # ring graph, uniform degree: ranks converge to exactly R0 each
     vals = set(out.values())
     assert len(vals) == 1
+
+
+def test_lsh_sizing_hint_skips_count_job(spark):
+    """The planes_for auto-sizing probe (embeddings.count()) must not run
+    when the caller threads an n_vectors hint, and the single-probe
+    lsh_topk default (fixed 8 planes) must not need the corpus size at
+    all — a derived (non-scan) input would otherwise execute fully just
+    to size the signature."""
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 2")
+
+    def _boom():
+        raise AssertionError("sizing probe ran embeddings.count()")
+
+    emb.count = _boom  # shadow the method on this instance
+    # hinted auto-sizing paths: plan builds without a count job
+    similarity.embedding_near_dup_pairs(emb, threshold=0.9, n_vectors=40)
+    similarity.lsh_topk(emb, q, k=1, dim=8, multi_probe=True, n_vectors=40)
+    # single-probe default: fixed planes, corpus size never consulted
+    similarity.lsh_topk(emb, q, k=1, dim=8)
+    # unhinted auto-sizing still probes (documented parquet-only cheapness)
+    with pytest.raises(AssertionError, match="sizing probe"):
+        similarity.embedding_near_dup_pairs(emb, threshold=0.9)
