@@ -507,11 +507,20 @@ def crawl(
             shards = _merge_shards(spark, seen, None, cfg)
         wave = 0
 
+    # `seen` is maintained as a UNION of checkpointed leaves: one base
+    # snapshot plus one delta per wave since the last compaction. Each wave
+    # checkpoints only its delta — checkpointing the union would rewrite
+    # the full cumulative seen set every wave, the same O(|seen|)-per-wave
+    # cost the catalog's delta commits eliminate on disk. Compaction every
+    # seen_compact_every waves collapses the union so plan fan-in and
+    # cached-leaf count stay bounded.
+    seen_parts: list[DataFrame] = [seen]
+
     n_frontier = frontier.count()
     end_wave = wave
     while n_frontier > 0 and wave < cfg.max_waves:
         t_wave = time.time()
-        prev_frontier, prev_seen, prev_shards = frontier, seen, shards
+        prev_frontier, prev_shards = frontier, shards
         wave_logs: list[DataFrame] = []
         wave_findings: list[DataFrame] = list(pending_findings)
         pending_findings = []
@@ -717,8 +726,14 @@ def crawl(
 
         # One job forces the whole heavy chain (elect -> fetch -> parse ->
         # candidates -> probe -> gate) into the wave's caches...
+        # (callSite.short labels land in the UI stage names so the scaling
+        # telemetry (plans/stagemetrics.py) attributes task time to engine
+        # phases instead of merging everything under "count at <unknown>")
+        sc = spark.sparkContext
         t0 = time.time()
+        sc.setLocalProperty("callSite.short", "wave_chain")
         gated.count()
+        sc.setLocalProperty("callSite.short", None)
         t_chain = time.time() - t0
 
         # ...then the five independent state/delta materializations read
@@ -727,26 +742,45 @@ def crawl(
         new_frontier_rows = gated.filter("robots_allowed").select(*frontier_cols)
         frontier_next = remainder.select(*frontier_cols).unionByName(new_frontier_rows)
         new_seen = gated.select("url", "verb", "post_data", "url_hash", "shard")
-        seen_next = seen.unionByName(new_seen)
         log_delta = _union_all(wave_logs, empty_log)
         findings_delta = _union_all(wave_findings, empty_findings)
+        compact = wave % cfg.seen_compact_every == 0
 
         t0 = time.time()
         from concurrent.futures import ThreadPoolExecutor
 
-        def _ckpt(df):
+        def _ckpt(df, label):
+            # per-thread callSite label: pinned-thread mode (the PySpark
+            # default) maps each Python thread to its own JVM thread, so
+            # every concurrent state job's stages carry its table name
+            spark.sparkContext.setLocalProperty("callSite.short", label)
             return df.localCheckpoint(eager=True)
 
         with ThreadPoolExecutor(max_workers=5) as pool:
-            f_frontier = pool.submit(_ckpt, frontier_next)
-            f_seen = pool.submit(_ckpt, seen_next)
-            f_shards = (
-                pool.submit(_ckpt, new_shards) if new_shards is not None else None
+            f_frontier = pool.submit(_ckpt, frontier_next, "ckpt_frontier")
+            # seen checkpoints as this wave's DELTA; the full union only on
+            # compaction waves (see seen_parts above)
+            f_seen = pool.submit(
+                _ckpt,
+                seen.unionByName(new_seen) if compact else new_seen,
+                "ckpt_seen_full" if compact else "ckpt_seen_delta",
             )
-            f_log = pool.submit(_ckpt, log_delta)
-            f_findings = pool.submit(_ckpt, findings_delta)
+            f_shards = (
+                pool.submit(_ckpt, new_shards, "ckpt_shards")
+                if new_shards is not None else None
+            )
+            f_log = pool.submit(_ckpt, log_delta, "ckpt_fetch_log")
+            f_findings = pool.submit(_ckpt, findings_delta, "ckpt_findings")
             frontier = f_frontier.result()
-            seen = f_seen.result()
+            if compact:
+                seen = f_seen.result()
+                for part in seen_parts:  # superseded by the collapsed union
+                    part.unpersist()
+                seen_parts = [seen]
+            else:
+                delta_ck = f_seen.result()
+                seen_parts.append(delta_ck)
+                seen = seen.unionByName(delta_ck)
             log_delta = f_log.result()
             findings_delta = f_findings.result()
             if f_shards is not None:
@@ -759,13 +793,16 @@ def crawl(
         findings.append(findings_delta)
 
         t0 = time.time()
+        sc.setLocalProperty("callSite.short", "frontier_count")
         n_frontier = frontier.count()
+        sc.setLocalProperty("callSite.short", None)
         t_count = time.time() - t0
         # Release superseded per-wave checkpoints: without this, a long crawl
         # leaks one cached RDD per wave per state table and everything after
-        # it pays the GC/block-manager tax.
+        # it pays the GC/block-manager tax. (seen deltas are NOT superseded
+        # — they compose the live union until a compaction wave collapses
+        # them, handled above.)
         prev_frontier.unpersist()
-        prev_seen.unpersist()
         if prev_shards is not None and shards is not prev_shards:
             prev_shards.unpersist()
         wave_metrics = {"wave": wave, "n_frontier_next": n_frontier}
@@ -773,11 +810,11 @@ def crawl(
 
         if catalog is not None:
             # seen commits as this wave's DELTA (new_seen), with a full
-            # compaction snapshot every seen_compact_every waves; frontier
-            # and shards stay full-state (frontier is the small active set,
-            # shards a fixed count of fixed-size filters). Wave 0 lands on
-            # the compaction branch, so a delta chain always has a base.
-            compact = wave % cfg.seen_compact_every == 0
+            # compaction snapshot every seen_compact_every waves (same
+            # cadence as the in-memory collapse above); frontier and shards
+            # stay full-state (frontier is the small active set, shards a
+            # fixed count of fixed-size filters). Wave 0 lands on the
+            # compaction branch, so a delta chain always has a base.
             state = {"frontier": frontier, "seen": seen if compact else new_seen}
             if shards is not None:
                 state["shards"] = shards
@@ -820,7 +857,7 @@ def crawl(
     else:
         fetch_log = _union_all(fetch_logs, empty_log)
         findings_df = _union_all(findings, empty_findings)
-    cached = [*fetch_logs, *findings, seen, frontier]
+    cached = [*fetch_logs, *findings, *seen_parts, frontier]
     if shards is not None:
         cached.append(shards)
     return CrawlResult(
