@@ -15,6 +15,20 @@ PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang st
 N_PAGES, BUDGET, WAVES = 48, 3, 5
 
 
+@pytest.fixture(autouse=True)
+def _sweep_after_each(spark):
+    """This module runs several multi-wave crawls per test; each releases
+    its caches, but unpersist is async (ContextCleaner processes on GC).
+    Force the GC round-trip per test so one test's released state is gone
+    before the next crawl allocates, instead of stacking until the
+    module-scope sweep."""
+    yield
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
 def _cfg(**kw):
     base = dict(budget_per_host=BUDGET, max_waves=WAVES, n_shards=4,
                 salt_buckets=2, run_checkers=False)
