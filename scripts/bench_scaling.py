@@ -93,6 +93,11 @@ def run_level(cpus: int) -> dict:
                 "true" if os.environ.get("SPARK_GRAFT_STAGE_METRICS") == "1"
                 else "false")
         .config("spark.ui.port", "0")
+        # bucketed-TABLE mode declares the table in the session catalog;
+        # keep the warehouse dir out of the repo
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               f"/tmp/sitecheck-warehouse-{cpus}"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -103,20 +108,43 @@ def run_level(cpus: int) -> dict:
 
         spark.sparkContext.addPyFile(build_zip())
 
-    # SPARK_GRAFT_BUCKETED=1 benches the at-scale layout: pages bucketed by
-    # pmod(xxhash64(url), N) + shuffle fetch join (broadcast_fetch=False).
-    # At a 10^10-URL frontier the elected set cannot be broadcast — the
-    # driver-side collect+ship is a serial Amdahl term that caps measured
-    # scaling — so the bucketed/shuffle path IS the production shape.
-    bucketed = os.environ.get("SPARK_GRAFT_BUCKETED") == "1"
+    # SPARK_GRAFT_BUCKETED=1 benches the directory-bucketed layout: pages
+    # partitioned by pmod(xxhash64(url), N) + shuffle fetch join
+    # (broadcast_fetch=False). At a 10^10-URL frontier the elected set
+    # cannot be broadcast — the driver-side collect+ship is a serial Amdahl
+    # term that caps measured scaling — so a non-broadcast path IS the
+    # production shape. SPARK_GRAFT_BUCKETED=table benches the bucketed
+    # TABLE layout (storage-partitioned join, html crosses zero exchanges)
+    # — the shape an Iceberg bucket(N,url) table gives, and the one that
+    # dodges the shared-disk html-shuffle bottleneck measured in round 4.
+    bucketed = os.environ.get("SPARK_GRAFT_BUCKETED")
     n_buckets = 64
-    corpus = CORPUS + ("-bucketed" if bucketed else "")
-    if bucketed:
+    if bucketed == "table":
+        from sitecheck_spark.sources.catalog import (
+            register_pages_bucketed_table,
+            write_pages_bucketed_table,
+        )
+
+        corpus = CORPUS + "-btable"
+        if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+            write_pages_bucketed_table(
+                generate_pages_spark(spark, N_PAGES, seed=42, profile=profile),
+                n_buckets=n_buckets, table="pages_btable", path=corpus,
+            )
+            pages = spark.table("pages_btable")
+        else:
+            # files persist across level processes; only the session-scoped
+            # bucketing declaration must be re-made
+            pages = register_pages_bucketed_table(
+                spark, corpus, n_buckets=n_buckets, table="pages_btable"
+            )
+    elif bucketed == "1":
         from sitecheck_spark.sources.catalog import (
             read_pages_bucketed,
             write_pages_bucketed,
         )
 
+        corpus = CORPUS + "-bucketed"
         if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
             write_pages_bucketed(
                 generate_pages_spark(spark, N_PAGES, seed=42, profile=profile),
@@ -124,6 +152,7 @@ def run_level(cpus: int) -> dict:
             )
         pages, n_buckets = read_pages_bucketed(spark, corpus)
     else:
+        corpus = CORPUS
         if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
             generate_pages_spark(spark, N_PAGES, seed=42, profile=profile).write.mode(
                 "overwrite"
@@ -148,7 +177,8 @@ def run_level(cpus: int) -> dict:
             budget_per_host=10**9, max_waves=WAVES, max_depth=10**6,
             n_shards=64, salt_buckets=8, run_checkers=True,
             broadcast_fetch=not bucketed,
-            pages_buckets=n_buckets if bucketed else None,
+            pages_buckets=n_buckets if bucketed == "1" else None,
+            pages_prebucketed=bucketed == "table",
             verbose=os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1",
         )
         t0 = time.time()

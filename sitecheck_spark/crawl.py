@@ -92,6 +92,13 @@ class CrawlConfig:
     # partitions holding elected urls (dynamic partition pruning). MUST match
     # the writer's modulus — validated on a sample at crawl start.
     pages_buckets: int | None = None
+    # Set when `pages` is a Spark bucketed TABLE (catalog.
+    # write_pages_bucketed_table, bucketBy(N, url)): the fetch join and the
+    # version-dedup agg reuse the table's bucketing, so html crosses ZERO
+    # exchanges per wave — the storage-partitioned-join shape an Iceberg
+    # bucket(N, url) table gives. Takes precedence over broadcast_fetch /
+    # pages_buckets. Parse parallelism = the table's bucket count.
+    pages_prebucketed: bool = False
     run_checkers: bool = True
     verbose: bool = False
     # Broadcast the elected url set into the pages scan (no corpus shuffle).
@@ -564,7 +571,17 @@ def crawl(
         # Downstream, the elected-side left join uses the agg's keys too, so
         # only slim frontier columns shuffle and the parse pass inherits the
         # n_parse partitions unchanged.
-        if cfg.broadcast_fetch:
+        if cfg.pages_prebucketed:
+            # bucketed-table fetch: the pages scan reports
+            # HashPartitioning(url, n_buckets), so EnsureRequirements
+            # shuffles ONLY the slim elected side into the buckets; the
+            # dedup agg below groups on the same key and reuses the join
+            # partitioning — html never crosses an exchange (plan-asserted
+            # with a zero count in tests/test_plans.py).
+            matched = pages_slim.join(elected_urls, fetch_keys)
+            agg_in = matched
+            agg_keys = ["url"]
+        elif cfg.broadcast_fetch:
             matched = pages_slim.join(F.broadcast(elected_urls), fetch_keys)
             agg_in = matched.repartition(n_parse, "url")
             agg_keys = ["url"]

@@ -107,6 +107,65 @@ def read_pages_bucketed(spark: SparkSession, path: str) -> tuple[DataFrame, int]
         )
     return spark.read.parquet(path), n_buckets
 
+# -- bucketed TABLE layout (zero-html-shuffle fetch) -------------------------
+
+PAGES_TABLE = "pages_bucketed"
+
+
+def write_pages_bucketed_table(
+    pages: DataFrame, n_buckets: int = 64, table: str = PAGES_TABLE,
+    path: str | None = None,
+) -> None:
+    """Spark bucketed-table stand-in #2 for Iceberg's bucket(N, url) — the
+    storage-partitioned-join shape. The table's scan reports its hash
+    bucketing to Catalyst, so the per-wave fetch join shuffles ONLY the slim
+    elected-url side into the table's buckets and the version-dedup agg
+    reuses the join partitioning: html:binary — the dominant bytes of a
+    crawl — crosses ZERO exchanges per wave (plan-asserted in
+    tests/test_plans.py). Compare write_pages_bucketed (directory layout):
+    that buys dynamic partition pruning but its scan has no Catalyst-known
+    partitioning, so the join must shuffle the html through disk — the
+    measured 4N bottleneck on shared-disk hosts (BASELINE.md round 4).
+
+    Wave parallelism in this mode equals n_buckets (the join/agg/parse
+    stage inherits the table's buckets) — size n_buckets >= the cluster's
+    cores. Requires a session catalog (warehouse dir); pass the result of
+    read_pages_table to crawl() with CrawlConfig(pages_prebucketed=True)."""
+    w = (
+        pages.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "url").sortBy("url")
+    )
+    if path is not None:
+        w = w.option("path", path)  # external table: files survive the session
+    w.saveAsTable(table)
+
+
+PAGES_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
+
+
+def register_pages_bucketed_table(
+    spark: SparkSession, path: str, n_buckets: int = 64,
+    table: str = PAGES_TABLE, schema_ddl: str = PAGES_DDL,
+) -> DataFrame:
+    """Re-declare an existing bucketed-table directory in THIS session's
+    catalog. The default (non-Hive) catalog is session-scoped, so the
+    bucketing metadata — the part that makes the fetch join exchange-free —
+    must be re-registered per session; the files themselves carry the
+    bucket ids in their names and are reused as-is. The declared spec MUST
+    match the writing spec (same n_buckets, same cluster column) — Spark
+    trusts the declaration."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY (url) SORTED BY (url) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(table)
+
+
+def read_pages_table(spark: SparkSession, table: str = PAGES_TABLE) -> DataFrame:
+    return spark.table(table)
+
+
 STATE_TABLES = ("frontier", "seen", "shards")
 DELTA_TABLES = ("fetch_log", "findings")
 

@@ -1,5 +1,6 @@
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -30,6 +31,8 @@ def spark():
         # must not read as a dead one
         .config("spark.network.timeout", "600s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bucketed-table tests saveAsTable; keep the warehouse out of the repo
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="sw-wh-"))
         .getOrCreate()
     )
     yield s

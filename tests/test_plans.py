@@ -251,3 +251,88 @@ def test_exact_dedup_is_single_shuffle(spark):
     assert count_shuffles(q) == 1
     plan = formatted_plan(q)
     assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_html_zero_shuffle_bucketed_table_fetch(spark):
+    """The bucketed-TABLE fetch (catalog.write_pages_bucketed_table, the
+    storage-partitioned-join shape an Iceberg bucket(N,url) table gives):
+    the pages scan reports its bucketing, so the fetch join shuffles only
+    the slim elected side and the version-dedup agg reuses the join
+    partitioning — html:binary crosses ZERO exchanges. This removes the
+    per-wave html shuffle that caps 4N scaling on shared-disk hosts."""
+    import tempfile as _tf
+
+    from sitecheck_spark.plans.checks import shuffle_exchanges_carrying
+    from sitecheck_spark.sources.catalog import (
+        register_pages_bucketed_table,
+        write_pages_bucketed_table,
+    )
+
+    src = spark.createDataFrame(make_pages_pdf(60), PAGES_SCHEMA)
+    loc = _tf.mkdtemp() + "/pages_btable_plan"
+    write_pages_bucketed_table(src, n_buckets=8, table="pages_bt_plan", path=loc)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pages = spark.table("pages_bt_plan").select("url", "warc_ts", "html")
+        elected = spark.createDataFrame(
+            [("https://big.example.com/p/0.html", "big.example.com", 0, 0.0,
+              None, 0)],
+            "url string, netloc string, depth int, priority double, "
+            "referrer string, redirects int",
+        )
+        matched = pages.join(elected.select("url"), "url")
+        latest = matched.groupBy("url").agg(
+            F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")
+        )
+        fetched = elected.join(latest, "url", "left")
+        parsed_input = fetched.filter(F.col("html").isNotNull()).select(
+            "url", "netloc", "depth", "priority", "referrer", "redirects", "html"
+        )
+        plan = formatted_plan(parsed_input)
+        assert "Bucketed: true" in plan, plan
+        carrying = shuffle_exchanges_carrying(parsed_input, "html")
+        assert len(carrying) == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_table_crawl_equals_plain_crawl(spark):
+    """End-to-end: the zero-html-shuffle bucketed-table fetch must produce
+    the identical crawl as the plain path, including re-registration of the
+    table files in a catalog-naive way (fresh table name over the same
+    directory, as a new session would)."""
+    import tempfile as _tf
+
+    from sitecheck_spark.crawl import CrawlConfig, crawl
+    from sitecheck_spark.sources.catalog import (
+        register_pages_bucketed_table,
+        write_pages_bucketed_table,
+    )
+    from sitecheck_spark.sources.corpus import make_seeds_pdf
+
+    src = spark.createDataFrame(make_pages_pdf(60), PAGES_SCHEMA)
+    loc = _tf.mkdtemp() + "/pages_btable_e2e"
+    write_pages_bucketed_table(src, n_buckets=8, table="pages_bt_e2e", path=loc)
+    # a fresh session only has the files: re-declare and use THAT table
+    reread = register_pages_bucketed_table(
+        spark, loc, n_buckets=8, table="pages_bt_e2e_rereg"
+    )
+
+    seeds = make_seeds_pdf().url.tolist()
+    base = dict(budget_per_host=3, max_waves=4, n_shards=4, salt_buckets=2,
+                run_checkers=False)
+    plain = crawl(spark, src, seeds, CrawlConfig(**base))
+    btable = crawl(spark, reread, seeds,
+                   CrawlConfig(**base, pages_prebucketed=True,
+                               broadcast_fetch=False))
+    key = lambda res: sorted(
+        (r["wave"], r["url"], r["status"]) for r in res.fetch_log.collect()
+    )
+    assert key(plain) == key(btable)
+    assert {r["url"] for r in plain.seen.collect()} == {
+        r["url"] for r in btable.seen.collect()
+    }
+    plain.release()
+    btable.release()
