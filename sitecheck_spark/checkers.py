@@ -194,6 +194,56 @@ def check_metadata(parsed: DataFrame) -> DataFrame:
     )
 
 
+def findings_pass(parsed: DataFrame) -> DataFrame:
+    """C2+C3+C5 fused into ONE scan of the parsed table: returns
+    (module, url, wave, detail) rows — the exact multiset the three
+    separate builders produce (pytest-pinned equality).
+
+    Why: the crawl loop's findings job previously unioned each checker's
+    own DataFrame — 3 JVM-checker scans plus spelling's 2 (tokens + text
+    re-attach) = 5 passes over the parsed cache per wave, and those
+    cache-read bytes were the second-largest stage group in the round-4
+    N-vs-4N scaling tables (ckpt_findings: 44.7 GB input, 1.72x inflation).
+    The three pure-JVM checkers are per-row array builders, so one scan
+    emits them all; spelling keeps its dictionary join."""
+    regex_arr = F.transform(
+        F.coalesce(
+            F.regexp_extract_all("extracted_text", F.lit(EMAIL_SQL), F.lit(0)),
+            F.array(),
+        ),
+        lambda m: F.struct(F.lit("regex").alias("module"), m.alias("detail")),
+    )
+    comment_arr = F.transform(
+        F.filter(
+            F.coalesce(F.col("comments"), F.array()),
+            lambda c: c.rlike(SENSITIVE_SQL),
+        ),
+        lambda c: F.struct(F.lit("comments").alias("module"), c.alias("detail")),
+    )
+    issues = F.array_compact(
+        F.array(
+            F.when(F.col("title").isNull() | (F.col("title") == ""), "missing_title")
+            .when(F.length("title") > TITLE_MAX, "title_too_long"),
+            F.when(F.col("meta_description").isNull(), "missing_meta_description")
+            .when(F.length("meta_description") > META_DESC_MAX, "meta_description_too_long"),
+        )
+    )
+    meta_arr = F.transform(
+        issues,
+        lambda i: F.struct(F.lit("metadata").alias("module"), i.alias("detail")),
+    )
+    return (
+        parsed.select(
+            "url", "wave",
+            F.explode(F.concat(regex_arr, comment_arr, meta_arr)).alias("f"),
+        )
+        .select(
+            F.col("f.module").alias("module"), "url", "wave",
+            F.col("f.detail").alias("detail"),
+        )
+    )
+
+
 def check_readability(parsed: DataFrame) -> DataFrame:
     """C7: Flesch score from built-in column expressions (no Python)."""
     parsed = parsed.withColumn(

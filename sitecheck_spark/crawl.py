@@ -51,12 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sitecheck_spark import robots as robots_mod
-from sitecheck_spark.checkers import (
-    check_comments,
-    check_metadata,
-    check_regex,
-    check_spelling,
-)
+from sitecheck_spark.checkers import check_spelling, findings_pass
 from sitecheck_spark.extract import PARSED_SCHEMA, parse_pages_batch
 from sitecheck_spark.functions.urls import canonicalize, netloc_of
 from sitecheck_spark.golden import IGNORED_EXTENSIONS
@@ -1019,22 +1014,11 @@ def _run_checkers(parsed: DataFrame, dictionary: DataFrame | None) -> list[DataF
                 "detail", F.lit("").alias("referrer"),
             )
         )
+    # regex + comments + metadata fused into one parsed-cache scan
+    # (checkers.findings_pass; separate builders stay for queries/tests)
     out.append(
-        check_regex(parsed).select(
-            F.lit("regex").alias("module"), "url", "wave",
-            F.col("match").alias("detail"), F.lit("").alias("referrer"),
-        )
-    )
-    out.append(
-        check_comments(parsed).select(
-            F.lit("comments").alias("module"), "url", "wave",
-            F.col("comment").alias("detail"), F.lit("").alias("referrer"),
-        )
-    )
-    out.append(
-        check_metadata(parsed).select(
-            F.lit("metadata").alias("module"), "url", "wave",
-            F.col("issue").alias("detail"), F.lit("").alias("referrer"),
+        findings_pass(parsed).select(
+            "module", "url", "wave", "detail", F.lit("").alias("referrer"),
         )
     )
     return out

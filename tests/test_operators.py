@@ -352,3 +352,42 @@ def test_lsh_sizing_hint_skips_count_job(spark):
     # unhinted auto-sizing still probes (documented parquet-only cheapness)
     with pytest.raises(AssertionError, match="sizing probe"):
         similarity.embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+def test_findings_pass_equals_separate_checkers(spark):
+    """The fused single-scan findings builder (crawl's hot path) must emit
+    the exact multiset of rows the three separate checker builders union
+    to."""
+    from sitecheck_spark import checkers
+    from sitecheck_spark.extract import PARSED_SCHEMA, parse_pages_batch
+    from sitecheck_spark.sources.corpus import make_pages_pdf
+
+    pages = spark.createDataFrame(
+        make_pages_pdf(40),
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    parsed = (
+        pages.groupBy("url")
+        .agg(F.max_by("html", "warc_ts").alias("html"))
+        .select(
+            "url", F.lit("h").alias("netloc"), F.lit(0).alias("wave"),
+            F.lit(0).alias("depth"), F.lit(0.0).alias("priority"),
+            F.lit("").alias("referrer"), F.lit(0).alias("redirects"),
+            F.lit("GET").alias("verb"), F.lit("").alias("post_data"), "html",
+        )
+        .mapInPandas(parse_pages_batch, PARSED_SCHEMA)
+    )
+    fused = [
+        (r["module"], r["url"], r["wave"], r["detail"])
+        for r in checkers.findings_pass(parsed).collect()
+    ]
+    want = []
+    for r in checkers.check_regex(parsed).collect():
+        want.append(("regex", r["url"], r["wave"], r["match"]))
+    for r in checkers.check_comments(parsed).collect():
+        want.append(("comments", r["url"], r["wave"], r["comment"]))
+    for r in checkers.check_metadata(parsed).collect():
+        want.append(("metadata", r["url"], r["wave"], r["issue"]))
+    assert sorted(fused) == sorted(want)
+    assert len(fused) > 0  # corpus must actually exercise all three
+    assert {m for m, *_ in fused} == {"regex", "comments", "metadata"}
