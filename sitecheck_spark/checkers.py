@@ -194,7 +194,10 @@ def check_metadata(parsed: DataFrame) -> DataFrame:
     )
 
 
-def findings_pass(parsed: DataFrame) -> DataFrame:
+SPELL_TOKEN_MODULE = "_spell_token"  # in-band token rows, never a finding
+
+
+def findings_pass(parsed: DataFrame, emit_tokens: bool = False) -> DataFrame:
     """C2+C3+C5 fused into ONE scan of the parsed table: returns
     (module, url, wave, detail) rows — the exact multiset the three
     separate builders produce (pytest-pinned equality).
@@ -205,7 +208,14 @@ def findings_pass(parsed: DataFrame) -> DataFrame:
     cache-read bytes were the second-largest stage group in the round-4
     N-vs-4N scaling tables (ckpt_findings: 44.7 GB input, 1.72x inflation).
     The three pure-JVM checkers are per-row array builders, so one scan
-    emits them all; spelling keeps its dictionary join."""
+    emits them all; spelling keeps its dictionary join.
+
+    emit_tokens=True additionally emits one module=SPELL_TOKEN_MODULE row
+    per distinct candidate spelling token (lowercase, len >= 3) per page —
+    the exact token set check_spelling explodes — and carries the request
+    identity columns (verb, post_data when present) so the C4 pipeline can
+    anti-join + re-attach text without its own scan of the parsed cache
+    (findings_with_spelling)."""
     regex_arr = F.transform(
         F.coalesce(
             F.regexp_extract_all("extracted_text", F.lit(EMAIL_SQL), F.lit(0)),
@@ -232,16 +242,73 @@ def findings_pass(parsed: DataFrame) -> DataFrame:
         issues,
         lambda i: F.struct(F.lit("metadata").alias("module"), i.alias("detail")),
     )
+    arr = F.concat(regex_arr, comment_arr, meta_arr)
+    extra_cols: list[str] = []
+    if emit_tokens:
+        token_arr = F.transform(
+            F.filter(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.lower("extracted_text"), F.lit(TOKEN_SQL), F.lit(0)
+                    )
+                ),
+                lambda t: F.length(t) >= 3,
+            ),
+            lambda t: F.struct(
+                F.lit(SPELL_TOKEN_MODULE).alias("module"), t.alias("detail")
+            ),
+        )
+        arr = F.concat(arr, token_arr)
+        extra_cols = [c for c in ("verb", "post_data") if c in parsed.columns]
     return (
         parsed.select(
-            "url", "wave",
-            F.explode(F.concat(regex_arr, comment_arr, meta_arr)).alias("f"),
+            "url", "wave", *extra_cols,
+            F.explode(arr).alias("f"),
         )
         .select(
-            F.col("f.module").alias("module"), "url", "wave",
+            F.col("f.module").alias("module"), "url", "wave", *extra_cols,
             F.col("f.detail").alias("detail"),
         )
     )
+
+
+def findings_with_spelling(
+    parsed: DataFrame, dictionary: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """C2+C3+C5+C4 sharing ONE scan of the parsed cache. Returns
+    (findings(module, url, wave, detail), cache_handle) — the caller
+    unpersists the handle after the findings are materialized.
+
+    The fused scan emits the JVM-checker findings AND the distinct spelling
+    candidate tokens as slim rows (persisted — orders of magnitude smaller
+    than the parsed table); the dictionary anti-join runs on those cached
+    rows, and only the text re-attach for surviving misspellings re-reads
+    the parsed cache's extracted_text column. Net: 2 parsed-cache scans per
+    wave (fused + re-attach) instead of the previous 3 (fused + token
+    explode + re-attach). Row-for-row equal to
+    findings_pass(parsed) ∪ check_spelling(parsed, dictionary)
+    (pytest-pinned)."""
+    fused = findings_pass(parsed, emit_tokens=True).persist()
+    base = fused.filter(F.col("module") != SPELL_TOKEN_MODULE).select(
+        "module", "url", "wave", "detail"
+    )
+    req = [c for c in ("url", "wave", "verb", "post_data") if c in fused.columns]
+    tokens = fused.filter(F.col("module") == SPELL_TOKEN_MODULE).select(
+        *req, F.col("detail").alias("word")
+    )
+    unknown = tokens.join(F.broadcast(dictionary), "word", "left_anti")
+    text = parsed.select(*req, F.lower("extracted_text").alias("_lt"))
+    pos = F.expr("locate(word, _lt)")
+    ctx = F.substring(
+        F.col("_lt"),
+        F.greatest(F.lit(1), pos - F.lit(SPELL_CONTEXT)),
+        F.length("word") + F.lit(2 * SPELL_CONTEXT),
+    )
+    spelling = unknown.join(text, req).select(
+        F.lit("spelling").alias("module"), "url", "wave",
+        F.concat(F.col("word"), F.lit(": "), ctx).alias("detail"),
+    )
+    return base.unionByName(spelling), fused
 
 
 def check_readability(parsed: DataFrame) -> DataFrame:

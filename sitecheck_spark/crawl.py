@@ -13,11 +13,15 @@ become POST requests crawled independently of their GET twins.
                      cannot pin a single reducer; phase 2 ranks the <= B*salts
                      survivors per netloc — provably equal to the unsalted
                      global per-host top-B)
-      3. fetch     = elected left-join latest pages on url (J1); miss -> 404
+      3. fetch     = elected left-join latest pages on url (J1)
       4. parse     = ONE vectorized mapInPandas pass (C6) emitting outlinks +
-                     text + title + meta + comments; the only place html is
+                     text + title + meta + comments + a status column (fetch
+                     misses pass through as 404 rows, so the html-carrying
+                     join output is never cached); the only place html is
                      ever read (column pruning, SURVEY.md §4)
-      5. checkers  = DataFrame builders over parsed (C2..C5, C7)
+      5. checkers  = DataFrame builders over parsed (C2..C5, C7), all JVM
+                     checkers + the spelling token explode fused into one
+                     scan of the parsed cache
       6. cand      = explode(outlinks) ∪ meta-refresh targets (hop-capped
                      redirect chains) -> ext/domain/depth filters ->
                      groupBy(url).min(struct(depth, referrer, redirects))
@@ -51,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sitecheck_spark import robots as robots_mod
-from sitecheck_spark.checkers import check_spelling, findings_pass
+from sitecheck_spark.checkers import findings_pass, findings_with_spelling
 from sitecheck_spark.extract import PARSED_SCHEMA, parse_pages_batch
 from sitecheck_spark.functions.urls import canonicalize, netloc_of
 from sitecheck_spark.golden import IGNORED_EXTENSIONS
@@ -590,10 +594,16 @@ def crawl(
             # total tie-break on (warc_ts, md5(html)) — see latest_pages()
             F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")
         )
-        # One corpus scan+join per wave: everything downstream (404 split,
-        # parse, fetch-log delta) reads this cache, not the parquet again.
+        # One corpus scan+join per wave, consumed EXACTLY ONCE by the parse
+        # pass: fetch misses flow through as status=404 rows (null-html fast
+        # path inside parse_pages_batch), so the html-carrying join output is
+        # never persisted — only the slim parsed table is. Caching the join
+        # output instead (round <= 4) meant every downstream `html IS NULL`
+        # filter re-read the cached html column batches: ~15 GB/run of the
+        # fetch-log job's input in the round-4 scaling stage tables was
+        # exactly that traffic.
         if agg_keys == ["url"]:
-            fetched = elected.join(latest_rows, "url", "left").persist()
+            fetched = elected.join(latest_rows, "url", "left")
         else:
             fetched = (
                 elected.withColumn(
@@ -602,47 +612,39 @@ def crawl(
                 )
                 .join(latest_rows, agg_keys, "left")
                 .drop(catalog_mod.PAGES_BUCKET_COL)
-                .persist()
             )
-        missing = fetched.filter(F.col("html").isNull())
+        parsed = (
+            fetched.select("url", "netloc", F.lit(wave).alias("wave"), "depth",
+                           "priority", "referrer", "redirects", "verb",
+                           "post_data", "html")
+            .mapInPandas(parse_pages_batch, PARSED_SCHEMA)
+        ).persist()
+        ok = parsed.filter(F.col("status") == 200)
+        missing = parsed.filter(F.col("status") == 404)
+
         wave_logs.append(
-            missing.select(
-                "url", "netloc", F.lit(wave).alias("wave"), "depth", "priority",
-                "referrer", "verb", "post_data", F.lit(404).alias("status"),
-                F.lit(0).cast("long").alias("content_len"), F.lit(0).alias("n_links"),
+            parsed.select(
+                "url", "netloc", "wave", "depth", "priority", "referrer",
+                "verb", "post_data", "status", "content_len", "n_links",
             )
         )
         wave_findings.append(
             missing.select(
                 F.lit("broken_link").alias("module"), "url",
-                F.lit(wave).alias("wave"), F.lit("404").alias("detail"), "referrer",
+                "wave", F.lit("404").alias("detail"), "referrer",
             )
         )
-
-        parsed = (
-            fetched.filter(F.col("html").isNotNull())
-            .select("url", "netloc", F.lit(wave).alias("wave"), "depth",
-                    "priority", "referrer", "redirects", "verb", "post_data",
-                    "html")
-            .mapInPandas(parse_pages_batch, PARSED_SCHEMA)
-        ).persist()
-
-        wave_logs.append(
-            parsed.select(
-                "url", "netloc", "wave", "depth", "priority", "referrer",
-                "verb", "post_data",
-                F.lit(200).alias("status"), "content_len", "n_links",
-            )
-        )
+        checker_handle = None
         if cfg.run_checkers:
-            wave_findings.extend(_run_checkers(parsed, dictionary))
+            checker_dfs, checker_handle = _run_checkers(ok, dictionary)
+            wave_findings.extend(checker_dfs)
 
         # Candidate edges: outlinks (depth+1, fresh redirect counter) plus
         # meta-refresh redirect targets (same depth, hop counter +1 along the
         # chain — the reference's Request carries a redirect count with a
         # cap; over-cap chains are findings, not candidates).
         out_cand = (
-            parsed.filter(F.col("depth") + 1 <= cfg.max_depth)
+            ok.filter(F.col("depth") + 1 <= cfg.max_depth)
             .select(
                 F.explode("outlinks").alias("url"),
                 F.col("url").alias("referrer"),
@@ -656,7 +658,7 @@ def crawl(
         # (verb, url, post_data), so a POSTed url is crawled independently
         # of its GET twin
         form_cand = (
-            parsed.filter(
+            ok.filter(
                 (F.size("post_forms") > 0) & (F.col("depth") + 1 <= cfg.max_depth)
             )
             .select(
@@ -671,7 +673,7 @@ def crawl(
                 F.col("f.data").alias("post_data"),
             )
         )
-        has_redirect = parsed.filter(F.col("redirect").isNotNull())
+        has_redirect = ok.filter(F.col("redirect").isNotNull())
         red_cand = (
             has_redirect.filter(F.col("redirects") + 1 <= cfg.max_redirects)
             .select(
@@ -843,11 +845,12 @@ def crawl(
 
         elected.unpersist()
         remainder.unpersist()
-        fetched.unpersist()
         parsed.unpersist()
         gated.unpersist()
         if fused_handle is not None:
             fused_handle.unpersist()
+        if checker_handle is not None:
+            checker_handle.unpersist()
         if cfg.verbose:
             print(f"[crawl] wave={wave} next_frontier={n_frontier} "
                   f"wall={time.time()-t_wave:.2f}s "
@@ -1005,23 +1008,22 @@ def _merge_shards(
     return merged.localCheckpoint(eager=True)
 
 
-def _run_checkers(parsed: DataFrame, dictionary: DataFrame | None) -> list[DataFrame]:
-    out = []
+def _run_checkers(
+    parsed: DataFrame, dictionary: DataFrame | None
+) -> tuple[list[DataFrame], DataFrame | None]:
+    """Checker findings over this wave's parsed cache, plus the fused-scan
+    cache handle to unpersist once the findings delta is materialized.
+    regex + comments + metadata (+ the spelling token explode, when a
+    dictionary is present) all ride ONE scan of the parsed cache
+    (checkers.findings_pass / findings_with_spelling; the separate builders
+    stay for queries/tests)."""
     if dictionary is not None:
-        out.append(
-            check_spelling(parsed, dictionary).select(
-                F.lit("spelling").alias("module"), "url", "wave",
-                "detail", F.lit("").alias("referrer"),
-            )
-        )
-    # regex + comments + metadata fused into one parsed-cache scan
-    # (checkers.findings_pass; separate builders stay for queries/tests)
-    out.append(
-        findings_pass(parsed).select(
-            "module", "url", "wave", "detail", F.lit("").alias("referrer"),
-        )
-    )
-    return out
+        fused, handle = findings_with_spelling(parsed, dictionary)
+        df = fused
+    else:
+        df, handle = findings_pass(parsed), None
+    return [df.select("module", "url", "wave", "detail",
+                      F.lit("").alias("referrer"))], handle
 
 
 def resolve_redirect_chains(edges: DataFrame, max_hops: int = 4) -> DataFrame:

@@ -204,6 +204,7 @@ PARSED_COLUMNS = [
     "post_forms",
     "n_links",
     "content_len",
+    "status",
 ]
 
 PARSED_SCHEMA = (
@@ -213,7 +214,7 @@ PARSED_SCHEMA = (
     "extracted_text string, title string, meta_description string, "
     "comments array<string>, redirect string, "
     "post_forms array<struct<url:string,data:string>>, "
-    "n_links int, content_len long"
+    "n_links int, content_len long, status int"
 )
 
 
@@ -224,6 +225,13 @@ def parse_pages_batch(
     redirects, html) -> PARSED_SCHEMA. `redirect` is the resolved canonical
     meta-refresh target (null if none); `redirects` passes through the
     page's own redirect-hop count for chain accounting.
+
+    A null `html` means the fetch join found no page: the row passes through
+    as status=404 with empty parse fields (no Python parse). Folding the
+    404 split into this pass lets the crawl persist ONE slim parsed table
+    per wave instead of caching the html-carrying join output — the cached
+    html batches were re-read by every downstream `html IS NULL` filter
+    (~15 GB/run of pure cache traffic in the round-4 scaling stage tables).
 
     One Arrow batch in, one out; all Python work is per-batch, not per-task-row
     round trips. This is the only place `html:binary` is ever materialized
@@ -237,6 +245,12 @@ def parse_pages_batch(
             pdf["priority"], pdf["referrer"], pdf["redirects"],
             pdf["verb"], pdf["post_data"], pdf["html"]
         ):
+            if html is None:  # fetch miss -> 404 passthrough, nothing to parse
+                rows.append(
+                    (url, netloc, wave, depth, priority, referrer, redirects,
+                     verb, post_data, [], "", "", None, [], None, [], 0, 0, 404)
+                )
+                continue
             parsed = parse_page(html)
             outlinks = []
             for href in parsed["links"]:
@@ -273,7 +287,8 @@ def parse_pages_batch(
                     redirect,
                     post_forms,
                     len(outlinks),
-                    len(html) if html is not None else 0,
+                    len(html),
+                    200,
                 )
             )
         yield pd.DataFrame(rows, columns=PARSED_COLUMNS)
