@@ -401,21 +401,37 @@ def crawl(
         cfg.pages_buckets is not None and catalog_mod.PAGES_BUCKET_COL in pages.columns
     )
     if bucketed_fetch:
-        # cheap guard against a modulus mismatch (would read the wrong
-        # partitions and surface as phantom 404s)
-        bad = (
-            pages.select("url", catalog_mod.PAGES_BUCKET_COL).limit(100)
-            .filter(
-                catalog_mod.bucket_of(F.col("url"), cfg.pages_buckets)
-                != F.col(catalog_mod.PAGES_BUCKET_COL)
-            )
-            .count()
+        # Guard against a modulus mismatch (would read the wrong partitions
+        # and surface as phantom 404s). The layout sidecar is authoritative
+        # — it records what the writer actually used, so a mismatch is
+        # caught even when a row sample happens to agree (pmod(h, 2N) ==
+        # pmod(h, N) for half of all hashes). Sidecar-less inputs (hand-laid
+        # directories) fall back to the row sample.
+        root = catalog_mod.infer_bucketed_root(pages.inputFiles())
+        sidecar_n = (
+            catalog_mod.pages_sidecar_buckets(spark, root) if root else None
         )
-        if bad:
-            raise ValueError(
-                f"pages.{catalog_mod.PAGES_BUCKET_COL} does not match "
-                f"pmod(xxhash64(url), {cfg.pages_buckets}) — wrong pages_buckets?"
+        if sidecar_n is not None:
+            if sidecar_n != cfg.pages_buckets:
+                raise ValueError(
+                    f"pages layout at {root} was written with "
+                    f"n_buckets={sidecar_n} (sidecar), but "
+                    f"pages_buckets={cfg.pages_buckets} was configured"
+                )
+        else:
+            bad = (
+                pages.select("url", catalog_mod.PAGES_BUCKET_COL).limit(100)
+                .filter(
+                    catalog_mod.bucket_of(F.col("url"), cfg.pages_buckets)
+                    != F.col(catalog_mod.PAGES_BUCKET_COL)
+                )
+                .count()
             )
+            if bad:
+                raise ValueError(
+                    f"pages.{catalog_mod.PAGES_BUCKET_COL} does not match "
+                    f"pmod(xxhash64(url), {cfg.pages_buckets}) — wrong pages_buckets?"
+                )
     fetch_cols = ["url", "warc_ts", "html"] + (
         [catalog_mod.PAGES_BUCKET_COL] if bucketed_fetch else []
     )

@@ -63,6 +63,20 @@ def _sidecar_path(table_path: str) -> str:
     return table_path.rstrip("/") + "/" + _BUCKETS_SIDECAR
 
 
+def infer_bucketed_root(files: list[str]) -> str | None:
+    """Root of a write_pages_bucketed directory layout from a DataFrame's
+    inputFiles(): the parent of the first url_bucket=<k> path segment, or
+    None if the files are not bucket-partitioned. Lets crawl() find the
+    layout sidecar — the authoritative bucket count — given only the
+    DataFrame it was handed."""
+    for f in files:
+        parts = f.split("/")
+        for i, p in enumerate(parts):
+            if p.startswith(PAGES_BUCKET_COL + "="):
+                return "/".join(parts[:i])
+    return None
+
+
 def pages_sidecar_buckets(spark: SparkSession, path: str) -> int | None:
     """n_buckets from the layout sidecar, or None if `path` is not a
     write_pages_bucketed layout. Resolved through the Hadoop FileSystem API
@@ -143,9 +157,46 @@ def write_pages_bucketed_table(
 PAGES_DDL = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
 
 
+def _normalize_location(loc: str) -> str:
+    for scheme in ("file://", "file:"):
+        if loc.startswith(scheme):
+            loc = loc[len(scheme):]
+            break
+    return loc.rstrip("/")
+
+
+def verify_bucketed_table_layout(
+    spark: SparkSession, table: str, n_buckets: int, sample: int = 100
+) -> None:
+    """Sample-based guard that a bucketed table's FILES were written under
+    the declared spec: the bucket id in each file name (part-*-_NNNNN.c*)
+    must equal pmod(hash(url), n_buckets) — Spark's own bucketing function
+    (Murmur3, seed 42). Spark trusts the declaration, so files bucketed
+    under a different modulus would silently drop join matches (phantom
+    404s) instead of erroring."""
+    bad = (
+        spark.table(table)
+        .select(
+            "url",
+            F.regexp_extract(F.input_file_name(), r"_(\d{5})\.", 1)
+            .cast("int").alias("_file_bucket"),
+        )
+        .limit(sample)
+        .filter(F.pmod(F.hash("url"), F.lit(n_buckets)) != F.col("_file_bucket"))
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"table {table}: file bucket ids do not match "
+            f"pmod(hash(url), {n_buckets}) — files were written under a "
+            f"different bucket spec than declared"
+        )
+
+
 def register_pages_bucketed_table(
     spark: SparkSession, path: str, n_buckets: int = 64,
     table: str = PAGES_TABLE, schema_ddl: str = PAGES_DDL,
+    verify_sample: int = 100,
 ) -> DataFrame:
     """Re-declare an existing bucketed-table directory in THIS session's
     catalog. The default (non-Hive) catalog is session-scoped, so the
@@ -153,12 +204,40 @@ def register_pages_bucketed_table(
     must be re-registered per session; the files themselves carry the
     bucket ids in their names and are reused as-is. The declared spec MUST
     match the writing spec (same n_buckets, same cluster column) — Spark
-    trusts the declaration."""
-    spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) USING parquet "
-        f"CLUSTERED BY (url) SORTED BY (url) INTO {n_buckets} BUCKETS "
-        f"LOCATION '{path}'"
-    )
+    trusts the declaration, so this guards the trust: an existing catalog
+    entry with a different location/bucket spec raises instead of being
+    silently reused, and a file sample is checked against the declared
+    modulus (verify_bucketed_table_layout; verify_sample=0 skips)."""
+    if spark.catalog.tableExists(table):
+        info = {
+            r["col_name"].strip(): (r["data_type"] or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        }
+        have_n = info.get("Num Buckets", "")
+        have_cols = info.get("Bucket Columns", "")
+        have_loc = _normalize_location(info.get("Location", ""))
+        want_loc = _normalize_location(path)
+        problems = []
+        if have_n != str(n_buckets):
+            problems.append(f"num buckets {have_n!r} != {n_buckets}")
+        if have_cols.replace("`", "") not in ("[url]",):
+            problems.append(f"bucket columns {have_cols!r} != [url]")
+        if have_loc != want_loc:
+            problems.append(f"location {have_loc!r} != {want_loc!r}")
+        if problems:
+            raise ValueError(
+                f"table {table} already exists with a different spec "
+                f"({'; '.join(problems)}) — drop it or register under "
+                f"another name"
+            )
+    else:
+        spark.sql(
+            f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+            f"CLUSTERED BY (url) SORTED BY (url) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    if verify_sample:
+        verify_bucketed_table_layout(spark, table, n_buckets, verify_sample)
     return spark.table(table)
 
 
@@ -237,8 +316,24 @@ class WaveCatalog:
         return spark.read.parquet(*reversed(paths))
 
     def read_deltas_through(self, spark: SparkSession, name: str, wave: int) -> DataFrame:
-        paths = [self._table_dir(name, k) for k in range(wave + 1)]
-        paths = [p for p in paths if os.path.exists(p)]
+        """Per-wave delta tables (fetch_log / findings) unioned through
+        `wave`. Paths come from the manifest lineage — the commit point, so
+        orphaned dirs from a killed wave are never read — with a Hadoop-FS
+        existence probe (remote-URI-safe, unlike os.path) only for waves
+        predating lineage bookkeeping."""
+        m = self.read_manifest() or {"waves": {}}
+        paths: list[str] = []
+        fs = None
+        for k in range(wave + 1):
+            ent = m["waves"].get(str(k), {}).get("lineage", {}).get(f"{name}_delta")
+            if ent is not None:
+                paths.append(ent["path"])
+                continue
+            p = self._table_dir(name, k)
+            if fs is None:
+                fs, _ = _hadoop_fs(spark, p)
+            if fs.exists(spark._jvm.org.apache.hadoop.fs.Path(p)):
+                paths.append(p)
         return spark.read.parquet(*paths)
 
     # -- commit ------------------------------------------------------------

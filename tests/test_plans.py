@@ -336,3 +336,84 @@ def test_bucketed_table_crawl_equals_plain_crawl(spark):
     }
     plain.release()
     btable.release()
+
+
+def test_sidecar_modulus_guard_beats_row_sampling(spark):
+    """The bucketed-layout modulus guard must use the sidecar's recorded
+    n_buckets (authoritative), not just a row sample: for half of all
+    hashes pmod(h, 2N) == pmod(h, N), so a corpus restricted to such urls
+    sails through any sample check with a doubled modulus while the fetch
+    join would read the wrong partitions. Corpus here is exactly that
+    adversarial restriction — only the sidecar can catch it."""
+    import tempfile as _tf
+
+    from sitecheck_spark.crawl import CrawlConfig, crawl
+    from sitecheck_spark.sources.catalog import (
+        bucket_of,
+        read_pages_bucketed,
+        write_pages_bucketed,
+    )
+
+    src = (
+        spark.createDataFrame(make_pages_pdf(80), PAGES_SCHEMA)
+        .filter(bucket_of(F.col("url"), 16) == bucket_of(F.col("url"), 8))
+    )
+    assert src.count() > 10
+    d = _tf.mkdtemp() + "/pages_sidecar_guard"
+    write_pages_bucketed(src, d, n_buckets=8)
+    pages, _n = read_pages_bucketed(spark, d)
+    # every row agrees with modulus 16, so a sample check passes wrongly
+    agree = pages.filter(
+        bucket_of(F.col("url"), 16) != F.col("url_bucket")
+    ).count()
+    assert agree == 0
+    with pytest.raises(ValueError, match="sidecar"):
+        crawl(
+            spark, pages, ["https://big.example.com/p/0.html"],
+            CrawlConfig(max_waves=1, n_shards=4, salt_buckets=2,
+                        pages_buckets=16, run_checkers=False),
+        )
+
+
+def test_register_bucketed_table_spec_mismatch_raises(spark):
+    """CREATE TABLE IF NOT EXISTS silently reusing a pre-existing table
+    with a different location/bucket spec would make the
+    storage-partitioned fetch join drop matches (phantom 404s) — the
+    register call must raise instead."""
+    import tempfile as _tf
+
+    from sitecheck_spark.sources.catalog import (
+        register_pages_bucketed_table,
+        write_pages_bucketed_table,
+    )
+
+    src = spark.createDataFrame(make_pages_pdf(30), PAGES_SCHEMA)
+    loc = _tf.mkdtemp() + "/pages_bt_spec"
+    write_pages_bucketed_table(src, n_buckets=8, table="pages_bt_spec", path=loc)
+    # same spec: fine (the restart-and-re-register path)
+    register_pages_bucketed_table(spark, loc, n_buckets=8, table="pages_bt_spec")
+    with pytest.raises(ValueError, match="different spec"):
+        register_pages_bucketed_table(spark, loc, n_buckets=4,
+                                      table="pages_bt_spec")
+    with pytest.raises(ValueError, match="different spec"):
+        register_pages_bucketed_table(spark, _tf.mkdtemp() + "/elsewhere",
+                                      n_buckets=8, table="pages_bt_spec")
+
+
+def test_register_bucketed_table_file_layout_guard(spark):
+    """Declaring a FRESH table name over files bucketed under a different
+    modulus must fail the sample guard: the bucket id in each file name has
+    to equal pmod(hash(url), declared_n)."""
+    import tempfile as _tf
+
+    from sitecheck_spark.sources.catalog import (
+        register_pages_bucketed_table,
+        write_pages_bucketed_table,
+    )
+
+    src = spark.createDataFrame(make_pages_pdf(30), PAGES_SCHEMA)
+    loc = _tf.mkdtemp() + "/pages_bt_files"
+    write_pages_bucketed_table(src, n_buckets=8, table="pages_bt_files", path=loc)
+    with pytest.raises(ValueError, match="bucket ids"):
+        register_pages_bucketed_table(spark, loc, n_buckets=16,
+                                      table="pages_bt_files_wrongn")
