@@ -2,18 +2,30 @@
 
 The north rule requires URL-throughput scaling efficiency >= 0.8 between N
 and 4N executors. No real cluster exists in this sandbox, so the same crawl
-job runs at local[N] and local[4N] on the same pre-materialized corpus with
-identical seeds/budget/waves; efficiency = (throughput_4N / throughput_N) / 4.
+job runs at local-cluster[N] and local-cluster[4N] on the same
+pre-materialized corpus with identical seeds/budget/waves;
+efficiency = (throughput_4N / throughput_N) / 4.
 
 Usage: python scripts/bench_scaling.py [n_pages] [low_cpus] [high_cpus]
-Each level runs in its own JVM (spark.master is fixed per SparkContext):
-this script re-execs itself per level.
+Each measured run executes in its own JVM (spark.master is fixed per
+SparkContext): this script re-execs itself per level/run.
+
+Protocols:
+- PAIRED (default, SPARK_GRAFT_PAIRS=3): N and 4N runs alternate
+  N,4N,N,4N,... in one session, so each (N_i, 4N_i) pair shares its
+  host-noise window; per-pair efficiencies plus best/worst/median land in
+  the summary JSON. This is the round-5 fix for the round-4 protocol flaw
+  (N and 4N sampled from different load windows are not comparable on a
+  noisy shared host).
+- LEGACY (SPARK_GRAFT_PAIRS=0): one child per level, RUNS runs each,
+  best-of compared across levels.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -25,14 +37,39 @@ LOW = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 HIGH = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "4"))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+PAIRS = int(os.environ.get("SPARK_GRAFT_PAIRS", "3"))
+# Warmup crawl (JIT + python worker fork + shuffle-service paths), discarded.
+# 1 wave exercises every code path at ~1/5 the cost of a full run — the
+# paired protocol runs 2*PAIRS children, so full-run warmups would double
+# the session length for no extra signal.
+WARMUP_WAVES = int(os.environ.get("SPARK_GRAFT_WARMUP_WAVES", "1"))
+# Corpus parquet codec. zstd reads ~30% fewer bytes off the single shared
+# disk than snappy for this html-heavy corpus — decompression is
+# CPU-parallel (scales with the cluster) while disk bandwidth is the shared
+# resource the 4N level contends on, so the trade is exactly the right one
+# at scale. Identical corpus content either way (content is a pure function
+# of seed); the codec is recorded in the summary JSON.
+CODEC = os.environ.get("SPARK_GRAFT_CORPUS_CODEC", "zstd")
+
+_BUCKETED_RAW = os.environ.get("SPARK_GRAFT_BUCKETED")
+if _BUCKETED_RAW not in (None, "", "0", "1", "table"):
+    raise SystemExit(
+        f"SPARK_GRAFT_BUCKETED={_BUCKETED_RAW!r} is not a valid mode — use "
+        "unset/''/'0' (plain corpus + broadcast fetch), '1' (directory-"
+        "bucketed layout + shuffle fetch), or 'table' (bucketed TABLE, "
+        "storage-partitioned join)"
+    )
+BUCKETED = _BUCKETED_RAW if _BUCKETED_RAW not in ("", "0") else None
+
 CORPUS = os.environ.get(
     "SPARK_GRAFT_CORPUS_DIR",
     f"/tmp/sitecheck-scaling-{N_PAGES}-"
-    + os.environ.get("SPARK_GRAFT_BENCH_PROFILE", "xheavy"),
+    + os.environ.get("SPARK_GRAFT_BENCH_PROFILE", "xheavy")
+    + ("" if CODEC == "snappy" else f"-{CODEC}"),
 )
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, runs: int, warmup_waves: int) -> dict:
     from pyspark.sql import SparkSession
 
     from sitecheck_spark.crawl import CrawlConfig, crawl
@@ -117,15 +154,15 @@ def run_level(cpus: int) -> dict:
     # TABLE layout (storage-partitioned join, html crosses zero exchanges)
     # — the shape an Iceberg bucket(N,url) table gives, and the one that
     # dodges the shared-disk html-shuffle bottleneck measured in round 4.
-    bucketed = os.environ.get("SPARK_GRAFT_BUCKETED")
     n_buckets = 64
-    if bucketed == "table":
+    if BUCKETED == "table":
         from sitecheck_spark.sources.catalog import (
             register_pages_bucketed_table,
             write_pages_bucketed_table,
         )
 
         corpus = CORPUS + "-btable"
+        spark.conf.set("spark.sql.parquet.compression.codec", CODEC)
         if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
             write_pages_bucketed_table(
                 generate_pages_spark(spark, N_PAGES, seed=42, profile=profile),
@@ -138,13 +175,14 @@ def run_level(cpus: int) -> dict:
             pages = register_pages_bucketed_table(
                 spark, corpus, n_buckets=n_buckets, table="pages_btable"
             )
-    elif bucketed == "1":
+    elif BUCKETED == "1":
         from sitecheck_spark.sources.catalog import (
             read_pages_bucketed,
             write_pages_bucketed,
         )
 
         corpus = CORPUS + "-bucketed"
+        spark.conf.set("spark.sql.parquet.compression.codec", CODEC)
         if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
             write_pages_bucketed(
                 generate_pages_spark(spark, N_PAGES, seed=42, profile=profile),
@@ -156,14 +194,14 @@ def run_level(cpus: int) -> dict:
         if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
             generate_pages_spark(spark, N_PAGES, seed=42, profile=profile).write.mode(
                 "overwrite"
-            ).parquet(corpus)
+            ).option("compression", CODEC).parquet(corpus)
         pages = spark.read.parquet(corpus)
     seeds = bench_seeds(N_PAGES, every=seeds_every)
 
     stage_metrics = os.environ.get("SPARK_GRAFT_STAGE_METRICS") == "1"
 
-    def one_run() -> tuple:
-        if stage_metrics:
+    def one_run(waves: int, collect_stages: bool) -> tuple:
+        if collect_stages:
             from sitecheck_spark.plans.stagemetrics import (
                 completed_stage_ids,
                 stage_aggregates,
@@ -174,11 +212,11 @@ def run_level(cpus: int) -> dict:
         # sizes, not differently-tuned jobs): same shuffle partitioning,
         # same shard count, same budget/seeds/waves.
         cfg = CrawlConfig(
-            budget_per_host=10**9, max_waves=WAVES, max_depth=10**6,
+            budget_per_host=10**9, max_waves=waves, max_depth=10**6,
             n_shards=64, salt_buckets=8, run_checkers=True,
-            broadcast_fetch=not bucketed,
-            pages_buckets=n_buckets if bucketed == "1" else None,
-            pages_prebucketed=bucketed == "table",
+            broadcast_fetch=not BUCKETED,
+            pages_buckets=n_buckets if BUCKETED == "1" else None,
+            pages_prebucketed=BUCKETED == "table",
             verbose=os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1",
         )
         t0 = time.time()
@@ -188,7 +226,7 @@ def run_level(cpus: int) -> dict:
         elapsed = time.time() - t0
         stages = (
             stage_aggregates(spark, exclude_ids=before, top=25)
-            if stage_metrics else None
+            if collect_stages else None
         )
         res.release()  # drop cached state so runs don't degrade each other
         spark.catalog.clearCache()
@@ -198,17 +236,19 @@ def run_level(cpus: int) -> dict:
         spark.sparkContext._jvm.System.gc()
         return elapsed, n_urls, n_findings, stages
 
-    one_run()  # warmup (JIT + python workers), discarded
-    samples = [one_run() for _ in range(RUNS)]
+    one_run(warmup_waves, False)  # warmup, discarded
+    samples = [one_run(WAVES, stage_metrics) for _ in range(runs)]
     # This sandbox is a shared host with fluctuating background load (raw
     # CPU probes vary run-to-run); best-of-N compares peak capability at
     # each level, which is the fair basis under exogenous noise. All raw
-    # samples are reported alongside.
+    # samples are reported alongside. (The paired protocol runs runs=1 and
+    # pairs across child processes instead.)
     best = min(samples, key=lambda s: s[0])
     out = {
         "cpus": cpus,
         "n_pages": N_PAGES,
         "waves": WAVES,
+        "corpus_codec": CODEC,
         "urls": best[1],
         "findings": best[2],
         "sec_runs": sorted(round(x[0], 2) for x in samples),
@@ -221,36 +261,108 @@ def run_level(cpus: int) -> dict:
     return out
 
 
-if __name__ == "__main__" and os.environ.get("_SCALING_LEVEL"):
-    print(json.dumps(run_level(int(os.environ["_SCALING_LEVEL"]))))
-elif __name__ == "__main__":
+def _spawn(cpus: int, runs: int) -> dict:
+    env = dict(os.environ, _SCALING_LEVEL=str(cpus), _SCALING_RUNS=str(runs))
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+        env=env, capture_output=True, text=True,
+    )
+    lines = proc.stdout.strip().splitlines()
+    if not lines or not lines[-1].startswith("{"):
+        print(f"--- level {cpus} child failed (rc={proc.returncode}) ---",
+              file=sys.stderr)
+        print(proc.stdout[-4000:], file=sys.stderr)
+        print(proc.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(1)
+    if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1":
+        for extra in lines[:-1]:  # per-wave chain/state/count timings
+            print(f"[{cpus}cpu] {extra}", file=sys.stderr)
+    return json.loads(lines[-1])
+
+
+def _print_stage_table(merged: list[dict]) -> None:
+    print(f"{'inflation':>9}  {'task_s@N':>9} {'task_s@4N':>9}  "
+          f"{'shufW_MB':>9}  stage", file=sys.stderr)
+    for r in merged:
+        print(f"{r['inflation']:>9} {r['task_time_s_N']:>9} "
+              f"{r['task_time_s_4N']:>9} {r['shuffle_write_mb']:>9}  "
+              f"{r['name'][:70]}", file=sys.stderr)
+
+
+def _efficiency(low: dict, high: dict) -> float:
+    return round(
+        (high["urls_per_sec"] / low["urls_per_sec"]) / (HIGH / LOW), 3
+    )
+
+
+def main_paired() -> None:
+    """N,4N,N,4N,... alternating in one session: each pair shares its
+    host-noise window, so per-pair efficiencies are directly comparable —
+    the round-4 verdict's protocol fix."""
+    pairs = []
+    for i in range(PAIRS):
+        low = _spawn(LOW, 1)
+        high = _spawn(HIGH, 1)
+        eff = _efficiency(low, high)
+        pairs.append({"pair": i, "low": low, "high": high, "efficiency": eff})
+        print(json.dumps({"pair": i,
+                          "low_sec": low["sec_best"],
+                          "high_sec": high["sec_best"],
+                          "efficiency": eff}))
+    effs = [p["efficiency"] for p in pairs]
+    best_low = min((p["low"] for p in pairs), key=lambda r: r["sec_best"])
+    best_high = min((p["high"] for p in pairs), key=lambda r: r["sec_best"])
+    summary = {
+        "protocol": "paired",
+        "pairs": len(pairs),
+        "corpus_codec": CODEC,
+        "cluster_ratio": HIGH / LOW,
+        "pair_efficiencies": effs,
+        "efficiency_best_pair": max(effs),
+        "efficiency_worst_pair": min(effs),
+        "efficiency_median_pair": round(statistics.median(effs), 3),
+        # pooled best-of across all windows (the legacy headline number)
+        "efficiency_pooled_best": _efficiency(best_low, best_high),
+        "low_sec_runs": sorted(p["low"]["sec_best"] for p in pairs),
+        "high_sec_runs": sorted(p["high"]["sec_best"] for p in pairs),
+        "low_urls_per_sec_best": best_low["urls_per_sec"],
+        "high_urls_per_sec_best": best_high["urls_per_sec"],
+        "urls": best_high["urls"],
+        "findings": best_high["findings"],
+        "n_pages": N_PAGES,
+        "waves": WAVES,
+    }
+    # stage table from the median-efficiency pair (representative window)
+    med = min(pairs, key=lambda p: abs(p["efficiency"]
+                                       - statistics.median(effs)))
+    if "stages" in med["low"] and "stages" in med["high"]:
+        from sitecheck_spark.plans.stagemetrics import merge_levels
+
+        merged = merge_levels(med["low"]["stages"], med["high"]["stages"])
+        summary["stage_table"] = merged
+        summary["stage_table_pair"] = med["pair"]
+        _print_stage_table(merged)
+    for p in pairs:  # keep pair_details slim — the merged table carries it
+        p["low"].pop("stages", None)
+        p["high"].pop("stages", None)
+    summary["pair_details"] = pairs
+    print(json.dumps(summary))
+
+
+def main_legacy() -> None:
     results = {}
     for cpus in (LOW, HIGH):
-        env = dict(os.environ, _SCALING_LEVEL=str(cpus))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
-            env=env, capture_output=True, text=True,
-        )
-        lines = proc.stdout.strip().splitlines()
-        if not lines or not lines[-1].startswith("{"):
-            print(f"--- level {cpus} child failed (rc={proc.returncode}) ---",
-                  file=sys.stderr)
-            print(proc.stdout[-4000:], file=sys.stderr)
-            print(proc.stderr[-4000:], file=sys.stderr)
-            raise SystemExit(1)
-        if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1":
-            for extra in lines[:-1]:  # per-wave chain/state/count timings
-                print(f"[{cpus}cpu] {extra}", file=sys.stderr)
-        results[cpus] = json.loads(lines[-1])
+        results[cpus] = _spawn(cpus, RUNS)
         print(json.dumps(results[cpus]))
-    eff = (
-        results[HIGH]["urls_per_sec"] / results[LOW]["urls_per_sec"]
-    ) / (HIGH / LOW)
     summary = {
+        "protocol": "legacy",
         "low": results[LOW], "high": results[HIGH],
-        "speedup": round(results[HIGH]["urls_per_sec"] / results[LOW]["urls_per_sec"], 2),
+        "corpus_codec": CODEC,
+        "speedup": round(
+            results[HIGH]["urls_per_sec"] / results[LOW]["urls_per_sec"], 2
+        ),
         "cluster_ratio": HIGH / LOW,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": _efficiency(results[LOW], results[HIGH]),
     }
     if "stages" in results[LOW] and "stages" in results[HIGH]:
         from sitecheck_spark.plans.stagemetrics import merge_levels
@@ -258,10 +370,15 @@ elif __name__ == "__main__":
         merged = merge_levels(results[LOW].pop("stages"),
                               results[HIGH].pop("stages"))
         summary["stage_table"] = merged
-        print(f"{'inflation':>9}  {'task_s@N':>9} {'task_s@4N':>9}  "
-              f"{'shufW_MB':>9}  stage", file=sys.stderr)
-        for r in merged:
-            print(f"{r['inflation']:>9} {r['task_time_s_N']:>9} "
-                  f"{r['task_time_s_4N']:>9} {r['shuffle_write_mb']:>9}  "
-                  f"{r['name'][:70]}", file=sys.stderr)
+        _print_stage_table(merged)
     print(json.dumps(summary))
+
+
+if __name__ == "__main__" and os.environ.get("_SCALING_LEVEL"):
+    print(json.dumps(run_level(
+        int(os.environ["_SCALING_LEVEL"]),
+        int(os.environ.get("_SCALING_RUNS", str(RUNS))),
+        WARMUP_WAVES,
+    )))
+elif __name__ == "__main__":
+    main_paired() if PAIRS else main_legacy()
