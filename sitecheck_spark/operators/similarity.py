@@ -135,11 +135,27 @@ def lsh_topk(
     raw parquet scan, but a REAL scan when the input is derived (filter/
     join/UDF upstream); thread the known count in for derived inputs."""
     if n_planes is None:
-        n_planes = (
-            planes_for(n_vectors if n_vectors is not None else embeddings.count())
-            if multi_probe
-            else 8
-        )
+        if multi_probe:
+            n_planes = planes_for(
+                n_vectors if n_vectors is not None else embeddings.count()
+            )
+        else:
+            n_planes = 8
+            # 2^8 buckets: expected bucket population is n/256. Warn when a
+            # provided size hint says that's oversized — the bucket join's
+            # candidate volume grows linearly with it (no count job is
+            # issued just to warn; pass n_vectors to get the check).
+            if n_vectors is not None and n_vectors / (1 << n_planes) > 10_000:
+                import warnings
+
+                warnings.warn(
+                    f"lsh_topk single-probe default keeps 8 planes; with "
+                    f"n_vectors={n_vectors} the expected bucket holds "
+                    f"~{n_vectors // (1 << n_planes)} vectors. Use "
+                    f"multi_probe=True (auto-sized planes) or pass n_planes "
+                    f"explicitly to bound candidate volume.",
+                    stacklevel=2,
+                )
     corpus = lsh_bucket(embeddings, n_planes, dim)
     q = lsh_bucket(queries, n_planes, dim).select(
         F.col("vec_id").alias("query_id"),
