@@ -38,11 +38,13 @@ HIGH = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "4"))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 PAIRS = int(os.environ.get("SPARK_GRAFT_PAIRS", "3"))
-# Warmup crawl (JIT + python worker fork + shuffle-service paths), discarded.
-# 1 wave exercises every code path at ~1/5 the cost of a full run — the
-# paired protocol runs 2*PAIRS children, so full-run warmups would double
-# the session length for no extra signal.
-WARMUP_WAVES = int(os.environ.get("SPARK_GRAFT_WARMUP_WAVES", "1"))
+# Warmup crawl (JIT + python worker fork + page cache), discarded. Default
+# = a FULL-length run: every paired child is a fresh JVM, and a 1-wave
+# warmup measurably under-warms the short 4N runs (round-5 probe: 4N
+# 242 -> 217 -> 216 s across cold-ish pairs while N sat at 498 +/- 0.3 % —
+# JIT amortizes inside a 500 s N run but not inside a 220 s 4N one).
+# Identical warmup spec at both levels; both are measured at steady state.
+WARMUP_WAVES = int(os.environ.get("SPARK_GRAFT_WARMUP_WAVES", str(WAVES)))
 # Corpus parquet codec. zstd reads ~30% fewer bytes off the single shared
 # disk than snappy for this html-heavy corpus — decompression is
 # CPU-parallel (scales with the cluster) while disk bandwidth is the shared

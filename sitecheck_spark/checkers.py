@@ -197,25 +197,11 @@ def check_metadata(parsed: DataFrame) -> DataFrame:
 SPELL_TOKEN_MODULE = "_spell_token"  # in-band token rows, never a finding
 
 
-def findings_pass(parsed: DataFrame, emit_tokens: bool = False) -> DataFrame:
-    """C2+C3+C5 fused into ONE scan of the parsed table: returns
-    (module, url, wave, detail) rows — the exact multiset the three
-    separate builders produce (pytest-pinned equality).
-
-    Why: the crawl loop's findings job previously unioned each checker's
-    own DataFrame — 3 JVM-checker scans plus spelling's 2 (tokens + text
-    re-attach) = 5 passes over the parsed cache per wave, and those
-    cache-read bytes were the second-largest stage group in the round-4
-    N-vs-4N scaling tables (ckpt_findings: 44.7 GB input, 1.72x inflation).
-    The three pure-JVM checkers are per-row array builders, so one scan
-    emits them all; spelling keeps its dictionary join.
-
-    emit_tokens=True additionally emits one module=SPELL_TOKEN_MODULE row
-    per distinct candidate spelling token (lowercase, len >= 3) per page —
-    the exact token set check_spelling explodes — and carries the request
-    identity columns (verb, post_data when present) so the C4 pipeline can
-    anti-join + re-attach text without its own scan of the parsed cache
-    (findings_with_spelling)."""
+def _checker_structs(emit_tokens: bool = False):
+    """The C2+C3+C5 per-row findings as ONE array-of-struct(module, detail)
+    column expression (+ the distinct spelling-candidate tokens when
+    emit_tokens). Shared by findings_pass and the crawl's wave-level fused
+    findings builder."""
     regex_arr = F.transform(
         F.coalesce(
             F.regexp_extract_all("extracted_text", F.lit(EMAIL_SQL), F.lit(0)),
@@ -243,7 +229,6 @@ def findings_pass(parsed: DataFrame, emit_tokens: bool = False) -> DataFrame:
         lambda i: F.struct(F.lit("metadata").alias("module"), i.alias("detail")),
     )
     arr = F.concat(regex_arr, comment_arr, meta_arr)
-    extra_cols: list[str] = []
     if emit_tokens:
         token_arr = F.transform(
             F.filter(
@@ -259,6 +244,31 @@ def findings_pass(parsed: DataFrame, emit_tokens: bool = False) -> DataFrame:
             ),
         )
         arr = F.concat(arr, token_arr)
+    return arr
+
+
+def findings_pass(parsed: DataFrame, emit_tokens: bool = False) -> DataFrame:
+    """C2+C3+C5 fused into ONE scan of the parsed table: returns
+    (module, url, wave, detail) rows — the exact multiset the three
+    separate builders produce (pytest-pinned equality).
+
+    Why: the crawl loop's findings job previously unioned each checker's
+    own DataFrame — 3 JVM-checker scans plus spelling's 2 (tokens + text
+    re-attach) = 5 passes over the parsed cache per wave, and those
+    cache-read bytes were the second-largest stage group in the round-4
+    N-vs-4N scaling tables (ckpt_findings: 44.7 GB input, 1.72x inflation).
+    The three pure-JVM checkers are per-row array builders, so one scan
+    emits them all; spelling keeps its dictionary join.
+
+    emit_tokens=True additionally emits one module=SPELL_TOKEN_MODULE row
+    per distinct candidate spelling token (lowercase, len >= 3) per page —
+    the exact token set check_spelling explodes — and carries the request
+    identity columns (verb, post_data when present) so the C4 pipeline can
+    anti-join + re-attach text without its own scan of the parsed cache
+    (findings_with_spelling)."""
+    arr = _checker_structs(emit_tokens)
+    extra_cols: list[str] = []
+    if emit_tokens:
         extra_cols = [c for c in ("verb", "post_data") if c in parsed.columns]
     return (
         parsed.select(
@@ -270,6 +280,96 @@ def findings_pass(parsed: DataFrame, emit_tokens: bool = False) -> DataFrame:
             F.col("f.detail").alias("detail"),
         )
     )
+
+
+def wave_findings_pass(
+    parsed: DataFrame, max_redirects: int,
+    dictionary: DataFrame | None = None, checkers: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
+    """ALL of a crawl wave's per-page findings from ONE scan of the parsed
+    table: broken_link (status=404 rows), over-cap redirect chains, and —
+    when `checkers` — C2/C3/C5 (+ C4 spelling when a dictionary is given).
+    Returns (findings(module, url, wave, detail, referrer), handle);
+    `handle` (non-None only on the dictionary path) is the slim fused cache
+    to unpersist once the findings are materialized. Robots findings are
+    not built here — they read the gated frontier, not parsed pages.
+
+    Why one scan: every filter branch over the parsed cache fetches the
+    FULL cached batches from the block manager regardless of column
+    pruning, so the previous three-branch findings job (404 filter +
+    redirect filter + fused checker scan) read 3x the cache per wave —
+    45 GB/run and 1.42x 4N inflation in the round-5 pair-0 stage tables.
+    Row-for-row equal to the separate builders' union (pytest + golden)."""
+    emit_tokens = checkers and dictionary is not None
+    broken = F.array_compact(F.array(
+        F.when(
+            F.col("status") == 404,
+            F.struct(F.lit("broken_link").alias("module"),
+                     F.lit("404").alias("detail"),
+                     F.col("referrer").alias("referrer")),
+        )
+    ))
+    red = F.array_compact(F.array(
+        F.when(
+            F.col("redirect").isNotNull()
+            & (F.col("redirects") + 1 > max_redirects),
+            F.struct(F.lit("redirect").alias("module"),
+                     F.concat(F.lit("max_redirects_exceeded "),
+                              F.col("redirect")).alias("detail"),
+                     F.col("referrer").alias("referrer")),
+        )
+    ))
+    arr = F.concat(broken, red)
+    if checkers:
+        # checker findings apply to fetched pages only; 404 passthrough
+        # rows must not produce metadata/regex findings from their empty
+        # parse fields
+        chk = F.transform(
+            F.filter(
+                _checker_structs(emit_tokens),
+                lambda _s: F.col("status") == 200,
+            ),
+            lambda s: F.struct(s["module"].alias("module"),
+                               s["detail"].alias("detail"),
+                               F.lit("").alias("referrer")),
+        )
+        arr = F.concat(arr, chk)
+    req = ["url", "wave"] + (
+        [c for c in ("verb", "post_data") if c in parsed.columns]
+        if emit_tokens else []
+    )
+    fused = (
+        parsed.select(*req, F.explode(arr).alias("f"))
+        .select(
+            F.col("f.module").alias("module"), *req,
+            F.col("f.detail").alias("detail"),
+            F.col("f.referrer").alias("referrer"),
+        )
+    )
+    if not emit_tokens:
+        return fused.select("module", "url", "wave", "detail", "referrer"), None
+    fused = fused.persist()
+    base = fused.filter(F.col("module") != SPELL_TOKEN_MODULE).select(
+        "module", "url", "wave", "detail", "referrer"
+    )
+    join_keys = [c for c in req]
+    tokens = fused.filter(F.col("module") == SPELL_TOKEN_MODULE).select(
+        *join_keys, F.col("detail").alias("word")
+    )
+    unknown = tokens.join(F.broadcast(dictionary), "word", "left_anti")
+    text = parsed.select(*join_keys, F.lower("extracted_text").alias("_lt"))
+    pos = F.expr("locate(word, _lt)")
+    ctx = F.substring(
+        F.col("_lt"),
+        F.greatest(F.lit(1), pos - F.lit(SPELL_CONTEXT)),
+        F.length("word") + F.lit(2 * SPELL_CONTEXT),
+    )
+    spelling = unknown.join(text, join_keys).select(
+        F.lit("spelling").alias("module"), "url", "wave",
+        F.concat(F.col("word"), F.lit(": "), ctx).alias("detail"),
+        F.lit("").alias("referrer"),
+    )
+    return base.unionByName(spelling), fused
 
 
 def findings_with_spelling(

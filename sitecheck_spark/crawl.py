@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sitecheck_spark import robots as robots_mod
-from sitecheck_spark.checkers import findings_pass, findings_with_spelling
+from sitecheck_spark.checkers import wave_findings_pass
 from sitecheck_spark.extract import PARSED_SCHEMA, parse_pages_batch
 from sitecheck_spark.functions.urls import canonicalize, netloc_of
 from sitecheck_spark.golden import IGNORED_EXTENSIONS
@@ -636,7 +636,6 @@ def crawl(
             .mapInPandas(parse_pages_batch, PARSED_SCHEMA)
         ).persist()
         ok = parsed.filter(F.col("status") == 200)
-        missing = parsed.filter(F.col("status") == 404)
 
         wave_logs.append(
             parsed.select(
@@ -644,16 +643,16 @@ def crawl(
                 "verb", "post_data", "status", "content_len", "n_links",
             )
         )
-        wave_findings.append(
-            missing.select(
-                F.lit("broken_link").alias("module"), "url",
-                "wave", F.lit("404").alias("detail"), "referrer",
-            )
+        # ALL per-page findings — broken_link + redirect cap + checkers —
+        # from ONE scan of the parsed cache (every separate filter branch
+        # would fetch the full cached batches again; robots findings join
+        # the gated frontier below instead)
+        page_findings, checker_handle = wave_findings_pass(
+            parsed, cfg.max_redirects,
+            dictionary if cfg.run_checkers else None,
+            checkers=cfg.run_checkers,
         )
-        checker_handle = None
-        if cfg.run_checkers:
-            checker_dfs, checker_handle = _run_checkers(ok, dictionary)
-            wave_findings.extend(checker_dfs)
+        wave_findings.append(page_findings)
 
         # Candidate edges: outlinks (depth+1, fresh redirect counter) plus
         # meta-refresh redirect targets (same depth, hop counter +1 along the
@@ -699,14 +698,6 @@ def crawl(
                 (F.col("redirects") + 1).alias("redirects"),
                 F.lit("GET").alias("verb"),
                 F.lit("").alias("post_data"),
-            )
-        )
-        wave_findings.append(
-            has_redirect.filter(F.col("redirects") + 1 > cfg.max_redirects).select(
-                F.lit("redirect").alias("module"), "url", F.lit(wave).alias("wave"),
-                F.concat(F.lit("max_redirects_exceeded "), F.col("redirect"))
-                .alias("detail"),
-                "referrer",
             )
         )
         cand = (
@@ -1022,24 +1013,6 @@ def _merge_shards(
         .applyInPandas(_make_merge_fn(cfg), _SHARDS_SCHEMA)
     )
     return merged.localCheckpoint(eager=True)
-
-
-def _run_checkers(
-    parsed: DataFrame, dictionary: DataFrame | None
-) -> tuple[list[DataFrame], DataFrame | None]:
-    """Checker findings over this wave's parsed cache, plus the fused-scan
-    cache handle to unpersist once the findings delta is materialized.
-    regex + comments + metadata (+ the spelling token explode, when a
-    dictionary is present) all ride ONE scan of the parsed cache
-    (checkers.findings_pass / findings_with_spelling; the separate builders
-    stay for queries/tests)."""
-    if dictionary is not None:
-        fused, handle = findings_with_spelling(parsed, dictionary)
-        df = fused
-    else:
-        df, handle = findings_pass(parsed), None
-    return [df.select("module", "url", "wave", "detail",
-                      F.lit("").alias("referrer"))], handle
 
 
 def resolve_redirect_chains(edges: DataFrame, max_hops: int = 4) -> DataFrame:

@@ -431,3 +431,50 @@ def test_findings_with_spelling_equals_separate_checkers(spark):
     assert any(m == "spelling" for m, *_ in got)
     # no in-band token rows may leak into the findings
     assert all(m != checkers.SPELL_TOKEN_MODULE for m, *_ in got)
+
+
+def test_wave_findings_pass_single_scan_equality(spark):
+    """The crawl's one-scan wave findings builder must equal the separate
+    builders' union: broken_link for status=404 rows, over-cap redirects,
+    C2/C3/C5 (+C4 with dictionary) for status=200 rows ONLY — a 404
+    passthrough row has empty parse fields and must not surface
+    missing_title/metadata findings."""
+    from sitecheck_spark import checkers
+    from sitecheck_spark.extract import PARSED_SCHEMA, parse_pages_batch
+    from sitecheck_spark.sources.corpus import make_dictionary_pdf, make_pages_pdf
+
+    pages = spark.createDataFrame(
+        make_pages_pdf(50),
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    dictionary = spark.createDataFrame(make_dictionary_pdf())
+    latest = pages.groupBy("url").agg(F.max_by("html", "warc_ts").alias("html"))
+    # null-html rows emulate fetch misses; redirects=4 pushes every
+    # meta-refresh page over the max_redirects=4 cap below
+    fetched = latest.select(
+        "url", F.lit("h").alias("netloc"), F.lit(2).alias("wave"),
+        F.lit(1).alias("depth"), F.lit(0.0).alias("priority"),
+        F.lit("ref").alias("referrer"), F.lit(4).alias("redirects"),
+        F.lit("GET").alias("verb"), F.lit("").alias("post_data"),
+        F.when(F.xxhash64("url") % 5 == 0, F.lit(None)).otherwise(F.col("html")).alias("html"),
+    )
+    parsed = fetched.mapInPandas(parse_pages_batch, PARSED_SCHEMA)
+    got_df, handle = checkers.wave_findings_pass(parsed, 4, dictionary)
+    got = [(r["module"], r["url"], r["wave"], r["detail"], r["referrer"])
+           for r in got_df.collect()]
+    if handle is not None:
+        handle.unpersist()
+    ok = parsed.filter(F.col("status") == 200)
+    want = []
+    for r in parsed.filter(F.col("status") == 404).collect():
+        want.append(("broken_link", r["url"], r["wave"], "404", r["referrer"]))
+    for r in ok.filter(F.col("redirect").isNotNull()).collect():
+        want.append(("redirect", r["url"], r["wave"],
+                     "max_redirects_exceeded " + r["redirect"], r["referrer"]))
+    for r in checkers.findings_pass(ok).collect():
+        want.append((r["module"], r["url"], r["wave"], r["detail"], ""))
+    for r in checkers.check_spelling(ok, dictionary).collect():
+        want.append(("spelling", r["url"], r["wave"], r["detail"], ""))
+    assert sorted(got) == sorted(want)
+    mods = {m for m, *_ in got}
+    assert {"broken_link", "redirect", "metadata", "spelling"} <= mods
