@@ -469,6 +469,7 @@ def crawl(
 
     pending_findings: list[DataFrame] = []  # pre-wave-0 (seed gating) findings
     shards: DataFrame | None = None
+    force_seen_full = False  # set when resume migrated the seen schema
 
     if resumed_from is not None:
         # Resume-exactly: rebuild state from the last committed wave.
@@ -501,6 +502,15 @@ def crawl(
             # identity, then rebuild the shards from the exact seen set.
             seen = _with_identity(seen.drop("url_hash", "shard"), cfg.n_shards)
             rebuild_shards = True
+            # The recomputed identity exists only in memory; the on-disk
+            # base snapshot is still pre-v3 (url-only schema). If this run
+            # committed only deltas, a SECOND resume would read_state a
+            # mixed-schema base+delta chain (parquet multi-path read, no
+            # mergeSchema) — base rows get null verb/post_data or deltas
+            # lose POST identity, and crawled requests silently re-fetch.
+            # Force the first commit of the resumed run to be a full v3
+            # snapshot so the on-disk chain is schema-uniform again.
+            force_seen_full = True
         seen = seen.localCheckpoint(eager=True)
         if cfg.use_bloom:
             if rebuild_shards:
@@ -765,7 +775,7 @@ def crawl(
         new_seen = gated.select("url", "verb", "post_data", "url_hash", "shard")
         log_delta = _union_all(wave_logs, empty_log)
         findings_delta = _union_all(wave_findings, empty_findings)
-        compact = wave % cfg.seen_compact_every == 0
+        compact = force_seen_full or wave % cfg.seen_compact_every == 0
 
         t0 = time.time()
         from concurrent.futures import ThreadPoolExecutor
@@ -863,6 +873,7 @@ def crawl(
                   f"wall={time.time()-t_wave:.2f}s "
                   f"(chain={t_chain:.1f} state={t_state:.1f} "
                   f"count={t_count:.1f})", flush=True)
+        force_seen_full = False  # migration snapshot committed (first wave)
         end_wave = wave + 1
         wave += 1
 

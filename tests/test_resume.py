@@ -147,32 +147,20 @@ def test_seen_compaction_snapshot(spark, pages, tmp_path):
         res.release()
 
 
-def test_pre_v3_checkpoint_resume_rebuilds_identity_and_shards(
-    spark, pages, tmp_path
-):
-    """ADVICE r3 (high): a pre-contract-v3 checkpoint stores seen with
-    url-only hashes and bloom shards built from them. Migrating by
-    defaulting verb/post_data while KEEPING those hashes makes every v3
-    probe (xxhash64(verb,url,post_data)) a bloom false-negative, silently
-    re-enqueueing crawled urls. Resume must recompute identities and
-    rebuild shards — no request may ever be fetched twice."""
+def _downgrade_checkpoint_to_pre_v3(spark, ckpt, cfg):
+    """Rewrite a committed wave-1 checkpoint into pre-contract-v3 shape:
+    seen as one row per url with url-only hashes (no verb/post_data),
+    shards rebuilt from those stale hashes, POST rows stripped from the
+    frontier and fetch-log deltas, identity-config keys dropped from the
+    manifest — a checkpoint a pre-v3 engine could actually have written."""
     import shutil
 
     from pyspark.sql import functions as F
 
-    seeds = make_seeds_pdf().url.tolist()
-    ckpt = str(tmp_path / "ckpt_prev3")
-    crawl(
-        spark, pages, seeds, _cfg(max_waves=2, checkpoint_dir=ckpt)
-    ).release()
-    cat = WaveCatalog(ckpt)
-    assert cat.last_committed_wave() == 1
-
-    # Rewrite the checkpoint into pre-v3 shape: one row per url, url-only
-    # hash, no verb/post_data; shards rebuilt from those stale hashes.
     from sitecheck_spark.crawl import _make_merge_fn, _SHARDS_SCHEMA
 
-    cfg = _cfg()
+    cat = WaveCatalog(ckpt)
+    assert cat.last_committed_wave() == 1
     stale_seen = (
         cat.read_state(spark, "seen", 1)
         .select("url").distinct()
@@ -229,6 +217,25 @@ def test_pre_v3_checkpoint_resume_rebuilds_identity_and_shards(
     with open(os.path.join(ckpt, "manifest.json"), "w") as f:
         _json.dump(m, f)
 
+
+def test_pre_v3_checkpoint_resume_rebuilds_identity_and_shards(
+    spark, pages, tmp_path
+):
+    """ADVICE r3 (high): a pre-contract-v3 checkpoint stores seen with
+    url-only hashes and bloom shards built from them. Migrating by
+    defaulting verb/post_data while KEEPING those hashes makes every v3
+    probe (xxhash64(verb,url,post_data)) a bloom false-negative, silently
+    re-enqueueing crawled urls. Resume must recompute identities and
+    rebuild shards — no request may ever be fetched twice."""
+    from pyspark.sql import functions as F
+
+    seeds = make_seeds_pdf().url.tolist()
+    ckpt = str(tmp_path / "ckpt_prev3")
+    crawl(
+        spark, pages, seeds, _cfg(max_waves=2, checkpoint_dir=ckpt)
+    ).release()
+    _downgrade_checkpoint_to_pre_v3(spark, ckpt, _cfg())
+
     resumed = crawl(spark, pages, seeds, _cfg(checkpoint_dir=ckpt))
     log = resumed.fetch_log.collect()
     fetched = [(r["verb"], r["url"], r["post_data"]) for r in log]
@@ -240,4 +247,54 @@ def test_pre_v3_checkpoint_resume_rebuilds_identity_and_shards(
         F.col("url_hash") != F.xxhash64("verb", "url", "post_data")
     ).count()
     assert bad == 0
+    resumed.release()
+
+
+def test_resume_twice_after_pre_v3_migration(spark, pages, tmp_path):
+    """ADVICE r4 (high): migration recomputes seen identity in memory, but
+    if the resumed run then commits only deltas the on-disk base stays the
+    pre-v3 snapshot (url-only schema, stale hashes). A SECOND resume would
+    read_state a mixed-schema base+delta parquet chain without mergeSchema
+    — base rows get null verb/post_data or deltas lose POST identity, the
+    exact anti-join stops matching, and crawled requests silently re-fetch.
+    The first commit after a migration must therefore be a full snapshot,
+    making the on-disk chain schema-uniform before any delta lands."""
+    from pyspark.sql import functions as F
+
+    seeds = make_seeds_pdf().url.tolist()
+    ckpt = str(tmp_path / "ckpt_prev3_twice")
+    crawl(spark, pages, seeds, _cfg(max_waves=2, checkpoint_dir=ckpt)).release()
+    _downgrade_checkpoint_to_pre_v3(spark, ckpt, _cfg())
+
+    # First resume, killed again after one wave. seen_compact_every=16
+    # (the default cadence) would make wave 2 a DELTA commit — the
+    # migration must override that and snapshot full.
+    crawl(
+        spark, pages, seeds,
+        _cfg(max_waves=3, checkpoint_dir=ckpt, seen_compact_every=16),
+    ).release()
+    m = WaveCatalog(ckpt).read_manifest()
+    assert m["waves"]["2"]["lineage"]["seen"]["kind"] == "full"
+    # and the snapshot on disk is uniformly contract-v3
+    snap = spark.read.parquet(m["waves"]["2"]["lineage"]["seen"]["path"])
+    assert {"verb", "post_data", "url_hash", "shard"} <= set(snap.columns)
+
+    # Second resume: resume-exactly must still hold end-to-end.
+    resumed = crawl(
+        spark, pages, seeds, _cfg(checkpoint_dir=ckpt, seen_compact_every=16)
+    )
+    log = resumed.fetch_log.collect()
+    fetched = [(r["verb"], r["url"], r["post_data"]) for r in log]
+    assert len(fetched) == len(set(fetched))  # no request fetched twice
+    # every identity in seen is a true v3 hash (no nulls, no stale hashes)
+    bad = resumed.seen.filter(
+        (F.col("url_hash") != F.xxhash64("verb", "url", "post_data"))
+        | F.col("verb").isNull() | F.col("post_data").isNull()
+    ).count()
+    assert bad == 0
+    # and nothing fetched (incl. wave-2+ POSTs) lost its seen identity
+    seen_ids = {
+        (r["verb"], r["url"], r["post_data"]) for r in resumed.seen.collect()
+    }
+    assert set(fetched) <= seen_ids
     resumed.release()
