@@ -974,6 +974,19 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, queries_df, k=3)
 
 
+@query("q_ann_ivf")  # Lloyd means are FP-order-sensitive -> rows-only
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: centroid-routed inverted lists (the data-adaptive
+    alternative to q_ann_lsh's fixed hyperplane buckets). No DuckDB twin —
+    the trained centroids depend on FP summation order — so rows-only here;
+    recall vs the oracle-checked brute-force baseline is bounded in pytest
+    (tests/test_operators.py::test_ivf_topk_recall) and the mapInPandas
+    GEMM assignment is equality-tested against the JVM path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries_df, k=3, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary plumbing
 # ---------------------------------------------------------------------------

@@ -181,6 +181,65 @@ def test_embedding_near_dup_recall(spark):
     assert len(found) / len(planted) >= 0.7  # recall over planted dups
 
 
+def _clustered_emb(spark, seed=7, n=300, dim=16, n_centers=12, scale=0.15):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, dim))
+    vecs = (centers[rng.integers(0, n_centers, n)] +
+            rng.normal(scale=scale, size=(n, dim))).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-flat ANN vs the brute-force baseline on a clustered corpus:
+    recall must clear a floor at nprobe=2, and growing nprobe under the
+    SAME trained quantizer probes a superset of lists, so recall is
+    monotone in nprobe by construction."""
+    emb = _clustered_emb(spark)
+    q = emb.filter("vec_id < 8")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.brute_force_topk(emb, q, k=3).collect()}
+    cents = similarity.ivf_fit(emb, n_vectors=300)
+
+    def recall(nprobe):
+        got = {(r["query_id"], r["neighbor_id"]) for r in
+               similarity.ivf_topk(emb, q, k=3, nprobe=nprobe,
+                                   centroids=cents).collect()}
+        return len(exact & got) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4       # superset probes never lose neighbors
+    assert r2 >= 0.6            # clustered-data floor (measured 1.0)
+
+
+def test_ivf_gemm_assignment_matches_jvm(spark):
+    """The mapInPandas GEMM assignment (the >10^3-centroid scale path) must
+    agree with the JVM broadcast-join path on well-separated clusters."""
+    emb = _clustered_emb(spark, seed=11, n=120, dim=8, n_centers=5, scale=0.05)
+    cents = similarity.ivf_fit(emb, n_centroids=5, iters=2, n_vectors=120)
+    jvm = {(r["vec_id"], r["centroid_id"]) for r in
+           similarity._assign_nearest(emb, cents).collect()}
+    gemm = {(r["vec_id"], r["centroid_id"]) for r in
+            similarity._assign_nearest_gemm(emb, cents).collect()}
+    assert jvm == gemm and len(jvm) == 120
+
+
+def test_ivf_fit_deterministic_and_complete(spark):
+    """Training twice on the same input yields the same quantizer, every
+    vector lands in exactly one inverted list, and centroid dim matches."""
+    emb = _clustered_emb(spark, seed=3, n=90, dim=8, n_centers=4)
+    c1 = {r["centroid_id"]: r["centroid"] for r in
+          similarity.ivf_fit(emb, n_centroids=6, n_vectors=90).collect()}
+    c2 = {r["centroid_id"]: r["centroid"] for r in
+          similarity.ivf_fit(emb, n_centroids=6, n_vectors=90).collect()}
+    assert c1 == c2
+    assert all(len(v) == 8 for v in c1.values())
+    lists = similarity._assign_nearest(
+        emb, similarity.ivf_fit(emb, n_centroids=6, n_vectors=90)).collect()
+    assert len(lists) == 90 and len({r["vec_id"] for r in lists}) == 90
+    assert {r["centroid_id"] for r in lists} <= set(c1)
+
+
 def test_brute_force_topk_vs_numpy(spark):
     rng = np.random.default_rng(11)
     vecs = rng.normal(size=(30, 8)).astype("float32")
