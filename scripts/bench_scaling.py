@@ -44,6 +44,11 @@ PAIRS = int(os.environ.get("SPARK_GRAFT_PAIRS", "3"))
 # 242 -> 217 -> 216 s across cold-ish pairs while N sat at 498 +/- 0.3 % —
 # JIT amortizes inside a 500 s N run but not inside a 220 s 4N one).
 # Identical warmup spec at both levels; both are measured at steady state.
+# At >=2M pages a single warmup wave suffices (one wave scans the whole
+# corpus — page cache warm — and a 2.4M measured run is 500-2000 s, long
+# past the ~200 s JIT knee the probe above found); a full-length warmup
+# there doubles a multi-hour session for no measurable steady-state gain.
+# The value used is recorded in every per-level and summary JSON.
 WARMUP_WAVES = int(os.environ.get("SPARK_GRAFT_WARMUP_WAVES", str(WAVES)))
 # Corpus parquet codec. zstd reads ~30% fewer bytes off the single shared
 # disk than snappy for this html-heavy corpus — decompression is
@@ -250,6 +255,7 @@ def run_level(cpus: int, runs: int, warmup_waves: int) -> dict:
         "cpus": cpus,
         "n_pages": N_PAGES,
         "waves": WAVES,
+        "warmup_waves": warmup_waves,
         "corpus_codec": CODEC,
         "urls": best[1],
         "findings": best[2],
@@ -333,6 +339,7 @@ def main_paired() -> None:
         "findings": best_high["findings"],
         "n_pages": N_PAGES,
         "waves": WAVES,
+        "warmup_waves": WARMUP_WAVES,
     }
     # stage table from the median-efficiency pair (representative window)
     med = min(pairs, key=lambda p: abs(p["efficiency"]

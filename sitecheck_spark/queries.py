@@ -536,6 +536,51 @@ def q_pagerank(spark, sf_dir):
     return pagerank(nodes, edges, iterations=5)
 
 
+_CC_SQL = """
+WITH RECURSIVE
+  d AS (SELECT doc_id FROM documents),
+  nn AS (SELECT count(*) AS n FROM d),
+  e AS (
+    SELECT doc_id AS src, doc_id + 1 AS dst FROM d, nn
+    WHERE doc_id % 16 <> 15 AND doc_id + 1 < n
+    UNION ALL
+    SELECT doc_id AS src, doc_id + 16 AS dst FROM d, nn
+    WHERE doc_id % 32 = 0 AND doc_id + 16 < n
+  ),
+  und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+  reach(node, m) AS (
+    SELECT doc_id AS node, doc_id AS m FROM d
+    UNION
+    SELECT r.node, u.dst AS m FROM reach r JOIN und u ON u.src = r.m
+  )
+SELECT node, CAST(min(m) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+@query("q_connected_components", _CC_SQL)
+def q_connected_components(spark, sf_dir):
+    """Component id (= min reachable doc_id) per node over a deterministic
+    undirected doc graph: chains inside 16-id blocks plus a bridge merging
+    each even block into the next — mirror-cluster discovery on a web
+    graph. Engine side is HashMin + pointer jumping (O(log n) rounds of
+    keyed shuffles, operators/graph.py); the oracle is the brute-force
+    transitive closure as a DuckDB recursive CTE — path-independent min
+    labels make the two bit-comparable."""
+    from sitecheck_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    chain = docs.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    ).where((F.col("src") % 16 != 15) & (F.col("dst") < n))
+    bridge = docs.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 16).alias("dst")
+    ).where((F.col("src") % 32 == 0) & (F.col("dst") < n))
+    return connected_components(nodes, chain.unionByName(bridge))
+
+
 @query(
     "q_heavy_hitters",
     """WITH toks AS (

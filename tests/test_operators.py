@@ -387,6 +387,66 @@ def test_pagerank_50_iterations_lineage_bounded(spark):
     assert len(vals) == 1
 
 
+def test_connected_components_vs_union_find(spark):
+    """Seeded random graph (with self-loops, duplicate and reversed edges)
+    against a pure-Python union-find: labels must equal the exact
+    min-member-per-component, including isolated nodes."""
+    import random
+
+    from sitecheck_spark.operators.graph import connected_components
+
+    rng = random.Random(421)
+    n = 300
+    raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    raw += [(i, i) for i in range(0, n, 37)]  # self-loops
+    raw += [(b, a) for a, b in raw[:30]]  # reversed duplicates
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in range(n)}
+    # union-find roots are min ids: unions always hang max under min
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_path_graph_converges_logarithmically(spark):
+    """A 200-node path is the propagation worst case (diameter 199):
+    pointer jumping must converge far below diameter rounds — and
+    max_rounds=2 must raise rather than return a partial labeling."""
+    import pytest as _pytest
+
+    from sitecheck_spark.operators.graph import connected_components
+
+    n = 200
+    nodes = spark.range(n + 1).select(F.col("id").alias("node"))  # +isolate
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges, max_rounds=14).collect()
+    }
+    assert all(out[i] == 0 for i in range(n))
+    assert out[n] == n  # isolated node labels itself
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_rounds=2).collect()
+
+
 def test_lsh_sizing_hint_skips_count_job(spark):
     """The planes_for auto-sizing probe (embeddings.count()) must not run
     when the caller threads an n_vectors hint, and the single-probe
