@@ -308,21 +308,33 @@ def main_paired() -> None:
     host-noise window, so per-pair efficiencies are directly comparable —
     the round-4 verdict's protocol fix."""
     pairs = []
+    failed = 0
     for i in range(PAIRS):
-        low = _spawn(LOW, 1)
-        high = _spawn(HIGH, 1)
+        # a lost child (executor-launch race when a fresh local-cluster
+        # starts on the heels of the previous pair's teardown) must cost
+        # ONE pair, not the whole multi-hour session and its summary JSON
+        try:
+            low = _spawn(LOW, 1)
+            high = _spawn(HIGH, 1)
+        except SystemExit:
+            failed += 1
+            print(json.dumps({"pair": i, "failed": True}))
+            continue
         eff = _efficiency(low, high)
         pairs.append({"pair": i, "low": low, "high": high, "efficiency": eff})
         print(json.dumps({"pair": i,
                           "low_sec": low["sec_best"],
                           "high_sec": high["sec_best"],
                           "efficiency": eff}))
+    if not pairs:
+        raise SystemExit("every pair failed — no summary to write")
     effs = [p["efficiency"] for p in pairs]
     best_low = min((p["low"] for p in pairs), key=lambda r: r["sec_best"])
     best_high = min((p["high"] for p in pairs), key=lambda r: r["sec_best"])
     summary = {
         "protocol": "paired",
         "pairs": len(pairs),
+        "pairs_failed": failed,
         "corpus_codec": CODEC,
         "cluster_ratio": HIGH / LOW,
         "pair_efficiencies": effs,
