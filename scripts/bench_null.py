@@ -106,6 +106,33 @@ def run_level(cpus: int, workload: str) -> dict:
                     F.sum(F.length("html") + F.length("text")).alias("s")
                 ).collect()[0]["s"]
             return tot
+    elif workload == "pandas":
+        # Arrow→pandas concurrency null: stream the IDENTICAL corpus bytes
+        # through mapInPandas with a trivial per-batch body — the full
+        # JVM→Arrow→python-worker pipe and python object materialization at
+        # `cpus` concurrent workers, none of the engine's parse logic. This
+        # bounds what ANY vectorized-python stage can show on this host;
+        # compare against the `scan` null (same bytes, JVM-only) to isolate
+        # the python-worker path from plain parquet+decompress.
+        if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+            raise SystemExit(f"corpus {CORPUS} missing")
+        pages = spark.read.parquet(CORPUS)
+
+        def _null_batches(batches):
+            import pandas as pd  # noqa: PLC0415
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"n": pdf["html"].str.len() + pdf["text"].str.len()}
+                )
+
+        def job():
+            return (
+                pages.select("html", "text")
+                .mapInPandas(_null_batches, "n bigint")
+                .agg(F.sum("n").alias("s"))
+                .collect()[0]["s"]
+            )
     else:
         raise SystemExit(f"unknown workload {workload!r}")
 
@@ -145,7 +172,8 @@ def main() -> None:
     ratio = HIGH / LOW
     out: dict = {"protocol": "paired-null", "pairs": PAIRS,
                  "cluster_ratio": ratio, "workloads": {}}
-    for workload in ("cpu", "scan"):
+    sel = os.environ.get("SPARK_GRAFT_NULL_WORKLOADS", "cpu,scan")
+    for workload in [w.strip() for w in sel.split(",") if w.strip()]:
         pairs = []
         for i in range(PAIRS):
             low = _spawn(LOW, workload)
@@ -171,8 +199,10 @@ def main() -> None:
         }
         if workload == "cpu":
             out["workloads"][workload]["rows"] = CPU_ROWS
-        else:
+        elif workload == "scan":
             out["workloads"][workload]["scans"] = SCANS
+            out["workloads"][workload]["corpus"] = CORPUS
+        else:
             out["workloads"][workload]["corpus"] = CORPUS
     print(json.dumps(out))
 
