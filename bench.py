@@ -41,6 +41,7 @@ HEADLINE = [
     "q_lang_id",
     "q_ann_cosine",
     "q_pagerank",
+    "q_connected_components",
     "q_heavy_hitters",
     "q_redirect_chains",
 ]
