@@ -56,6 +56,7 @@ def pagerank(
     # overflow-safe 0.85 damping: never forms 85*s (see module docstring)
     damped = ("85 * (coalesce(s, 0) div 100) "
               "+ (85 * (coalesce(s, 0) % 100)) div 100")
+    prev_cp = None
     for i in range(iterations):
         contribs = (
             edges.join(deg, "src")
@@ -73,12 +74,44 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+            if prev_cp is not None:
+                # the new eager checkpoint is materialized, so the previous
+                # one is superseded — release its block-manager copy now
+                # instead of holding every 10th rank table until driver GC.
+                _release_leaf(prev_cp)
+            prev_cp = ranks
     return ranks
+
+
+def _release_leaf(df: DataFrame) -> None:
+    """Best-effort free of a superseded iteration leaf's block-manager copy.
+
+    Handles both plain persisted frames (`unpersist`) and
+    `localCheckpoint`'ed frames, whose blocks belong to the INTERNAL
+    checkpointed RDD — a Dataset-level `unpersist` does not touch those, so
+    without this every checkpointed round of an iterative operator stays in
+    the block manager until the driver GCs the RDD handle. A released
+    checkpoint leaf can no longer be recomputed (its lineage was truncated),
+    so callers must only release leaves nothing live depends on.
+    """
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    try:
+        plan = df._jdf.queryExecution().logical()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        # internal API (stable in practice, but never let cleanup kill the
+        # job) — worst case the ContextCleaner frees it at driver GC.
+        pass
 
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = 40,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2, check_every: int = 2,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """(node, component) — component = the MINIMUM node id reachable from
     `node` over the undirected closure of `edges`. Web-graph companion to
@@ -99,7 +132,14 @@ def connected_components(
     per-node non-increasing (every update is a min), so the fixpoint is
     reached exactly when SUM(label) stops falling. The sum runs in
     decimal(38,0) — exact at any node count, immune to bigint wrap — and
-    doubles as the per-round materializing action. At the HashMin fixpoint
+    doubles as the materializing action. It fires only every `check_every`
+    rounds (monotonicity makes the sparser cadence sound: equality across a
+    2-round gap forces equality at each intermediate round), which halves
+    the per-round driver round-trips that dominate small-graph wall time.
+    Superseded round leaves are released as soon as a newer round
+    materializes — persisted leaves immediately, checkpoint leaves once a
+    LATER checkpoint exists — so peak block-manager footprint is O(1)
+    label-table copies, not O(rounds). At the HashMin fixpoint
     label(u) <= label(v) across every (symmetric) edge, hence labels are
     constant per component; the constant is an id of a member node and the
     component's min member labels itself, so the constant IS the min.
@@ -109,20 +149,32 @@ def connected_components(
 
     nodes: one `node` column (isolated nodes keep component = own id);
     edges: (src, dst), direction ignored, self-loops/duplicates fine.
+    `edges_unique=True` skips the symmetrize-then-distinct shuffle (HashMin
+    is duplicate-tolerant — min over a multiset — so dedup is purely a
+    per-round join-size optimization; callers whose edge list is known
+    unique, e.g. built by construction, save one full edge shuffle).
+    `checkpoint_every=2` (the check cadence) is deliberate: driver-side
+    Catalyst analysis of the round plans — each round is 3 joins with a
+    self-join doubling subtree references — grows superlinearly with plan
+    depth and dominates small-graph wall time, so lineage is truncated at
+    every materialization; superseded checkpoints are released eagerly, so
+    the block manager holds one label-table checkpoint at a time.
     Raises if `max_rounds` passes without reaching the fixpoint (the loud
     option: a silent partial labeling corrupts downstream grouping).
     """
     sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).where(
         F.col("a") != F.col("b")
     )
-    sym = (
-        sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .persist()
+    sym = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    if not edges_unique:
+        sym = sym.distinct()
+    sym = sym.persist()
     lbl = nodes.select("node", F.col("node").alias("lbl")).persist()
     prev_sum = None
-    handles = [sym, lbl]
+    persisted = [lbl]   # plain persisted leaves not yet superseded
+    checkpoints = []    # localCheckpoint leaves (newest may be unmaterialized)
     try:
         for r in range(max_rounds):
             prop = (
@@ -144,16 +196,36 @@ def connected_components(
                 "left",
             ).select("node", F.coalesce("jlbl", "lbl").alias("lbl"))
             if checkpoint_every and (r + 1) % checkpoint_every == 0:
-                jumped = jumped.localCheckpoint(eager=True)
+                # non-eager: the next convergence check materializes (and
+                # truncates lineage) as part of its own job — no extra job
+                # just to checkpoint, unlike eager=True.
+                jumped = jumped.localCheckpoint(eager=False)
+                checkpoints.append(jumped)
             else:
                 jumped = jumped.persist()
-                handles.append(jumped)
-            cur_sum = jumped.agg(
+                persisted.append(jumped)
+            lbl = jumped
+            if (r + 1) % check_every and r + 1 < max_rounds:
+                continue  # odd round: chain lazily, no driver round-trip
+            cur_sum = lbl.agg(
                 F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]
-            lbl = jumped
+            # lbl just materialized: every OLDER plain leaf is dead weight
+            # (MEMORY_AND_DISK spills rather than evicts, so lbl's cached
+            # copy never needs to recompute through them in local mode, and
+            # the newest checkpoint covers the recompute path regardless).
+            for h in persisted:
+                if h is not lbl:
+                    _release_leaf(h)
+            # identity check — DataFrame.__eq__ builds a Column, never use `in`
+            persisted = [lbl] if any(h is lbl for h in persisted) else []
+            # the newest checkpoint is an ancestor of (or is) lbl, hence
+            # materialized by the sum above; all older ones are superseded.
+            for h in checkpoints[:-1]:
+                _release_leaf(h)
+            checkpoints = checkpoints[-1:]
             if cur_sum == prev_sum:
-                # materialize before the finally-block unpersists the chain
+                # materialize before the finally-block releases the chain
                 return lbl.select(
                     "node", F.col("lbl").alias("component")
                 ).localCheckpoint(eager=True)
@@ -162,5 +234,5 @@ def connected_components(
             f"connected_components did not converge in {max_rounds} rounds"
         )
     finally:
-        for h in handles:
-            h.unpersist()
+        for h in persisted + checkpoints + [sym]:
+            _release_leaf(h)

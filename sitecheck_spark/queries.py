@@ -578,7 +578,11 @@ def q_connected_components(spark, sf_dir):
     bridge = docs.select(
         F.col("doc_id").alias("src"), (F.col("doc_id") + 16).alias("dst")
     ).where((F.col("src") % 32 == 0) & (F.col("dst") < n))
-    return connected_components(nodes, chain.unionByName(bridge))
+    # chain ∪ bridge is duplicate-free by construction: dst-src is 1 vs 16,
+    # and all edges have dst > src so symmetrization cannot collide either
+    return connected_components(
+        nodes, chain.unionByName(bridge), edges_unique=True
+    )
 
 
 @query(
