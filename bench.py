@@ -9,11 +9,20 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...,
    "crawl_urls": N, "crawl_urls_per_sec": X, "cpus": C}
 
+Every timing is BEST-OF-N with all samples recorded (`crawl_sec_runs`,
+`query_runs`) — this sandbox's host load fluctuates enough that identical
+runs vary up to ~2x (BASELINE.md), so a single sample cannot separate an
+engine regression from a loud measurement window; `value` and the
+per-query `queries` map report the best sample, the run lists carry the
+evidence. (Round-5 lesson: a one-sample -17% crawl delta was unattributable
+for exactly this reason.)
+
 Env knobs:
   SPARK_GRAFT_SF_DIR       (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS         (default 32)
   SPARK_GRAFT_BENCH_PAGES  (default 120000)
   SPARK_GRAFT_BENCH_WAVES  (default 4)
+  SPARK_GRAFT_BENCH_RUNS   (default 3; samples per crawl and per query)
 """
 
 from __future__ import annotations
@@ -50,6 +59,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
 BENCH_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "4"))
+BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def build_spark(cpus: int) -> SparkSession:
@@ -104,31 +114,40 @@ def bench_crawl(spark: SparkSession, n_pages: int, max_waves: int) -> dict:
         n_shards=2 * CPUS,
         salt_buckets=8,
     )
-    t0 = time.time()
-    res = crawl(spark, pages, seeds, cfg, dictionary=dictionary)
-    # verb split recorded so corpus growth (contract-v3 POST forms) is
-    # separable from engine regression without reading BASELINE.md prose
-    verb_counts = {
-        r["verb"]: r["n"]
-        for r in res.fetch_log.groupBy("verb").agg(F.count("*").alias("n")).collect()
-    }
-    n_urls = sum(verb_counts.values())
-    findings_by_module = {
-        r["module"]: r["n"]
-        for r in res.findings.groupBy("module").agg(F.count("*").alias("n")).collect()
-    }
-    n_findings = sum(findings_by_module.values())
-    secs = time.time() - t0
-    res.release()
+    runs: list[float] = []
+    verb_counts: dict[str, int] = {}
+    findings_by_module: dict[str, int] = {}
+    waves = 0
+    for _ in range(BENCH_RUNS):
+        t0 = time.time()
+        res = crawl(spark, pages, seeds, cfg, dictionary=dictionary)
+        # verb split recorded so corpus growth (contract-v3 POST forms) is
+        # separable from engine regression without reading BASELINE.md prose
+        verb_counts = {
+            r["verb"]: r["n"]
+            for r in res.fetch_log.groupBy("verb")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        findings_by_module = {
+            r["module"]: r["n"]
+            for r in res.findings.groupBy("module")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        runs.append(round(time.time() - t0, 2))
+        waves = res.waves
+        res.release()  # per-wave checkpoints must not leak into the next run
+    n_urls = sum(verb_counts.values())  # deterministic: identical every run
+    best = min(runs)
     return {
         "corpus_gen_sec": gen_sec,
-        "crawl_sec": round(secs, 2),
+        "crawl_sec": best,
+        "crawl_sec_runs": runs,
         "crawl_urls": n_urls,
         "crawl_post_requests": verb_counts.get("POST", 0),
-        "crawl_findings": n_findings,
+        "crawl_findings": sum(findings_by_module.values()),
         "crawl_findings_by_module": findings_by_module,
-        "crawl_waves": res.waves,
-        "crawl_urls_per_sec": round(n_urls / secs, 1),
+        "crawl_waves": waves,
+        "crawl_urls_per_sec": round(n_urls / best, 1),
     }
 
 
@@ -143,12 +162,17 @@ def main() -> None:
     crawl_stats = bench_crawl(spark, BENCH_PAGES, BENCH_WAVES)
     timings["crawl"] = crawl_stats["crawl_sec"]
 
+    query_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]["fn"]
         fn(spark, SF_DIR).count()  # warm (plan + IO caches)
-        t0 = time.time()
-        _materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(BENCH_RUNS):
+            t0 = time.time()
+            _materialize(fn(spark, SF_DIR))
+            samples.append(round(time.time() - t0, 3))
+        query_runs[name] = samples
+        timings[name] = min(samples)
 
     total = round(sum(timings.values()), 2)
     print(
@@ -158,6 +182,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_runs": query_runs,
+                "samples_per_timing": BENCH_RUNS,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": CPUS,
                 **crawl_stats,

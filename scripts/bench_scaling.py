@@ -225,6 +225,11 @@ def run_level(cpus: int, runs: int, warmup_waves: int) -> dict:
             pages_buckets=n_buckets if BUCKETED == "1" else None,
             pages_prebucketed=BUCKETED == "table",
             verbose=os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1",
+            # split the fused wave_chain job into labeled sub-phase jobs
+            # (elect / fetch+parse / probe+gate) so N-vs-4N stage tables
+            # attribute co-scheduling inflation to a sub-phase; identical
+            # total work, slightly less pipelining overlap
+            phase_labels=os.environ.get("SPARK_GRAFT_PHASE_LABELS") == "1",
         )
         t0 = time.time()
         res = crawl(spark, pages, seeds, cfg)
@@ -262,6 +267,7 @@ def run_level(cpus: int, runs: int, warmup_waves: int) -> dict:
         "sec_runs": sorted(round(x[0], 2) for x in samples),
         "sec_best": round(best[0], 2),
         "urls_per_sec": round(best[1] / best[0], 1),
+        "phase_labels": os.environ.get("SPARK_GRAFT_PHASE_LABELS") == "1",
     }
     if best[3] is not None:
         out["stages"] = best[3]  # best run's per-stage-name aggregates

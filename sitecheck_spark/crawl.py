@@ -100,6 +100,15 @@ class CrawlConfig:
     pages_prebucketed: bool = False
     run_checkers: bool = True
     verbose: bool = False
+    # Attribution mode for the scaling telemetry: force the wave chain's
+    # persisted layers in dependency order under DISTINCT callSite labels
+    # (wave_elect / wave_fetch_parse / wave_probe_gate) instead of one
+    # fused wave_chain job, so N-vs-4N stage tables localize co-scheduling
+    # inflation to a sub-phase. Total work is unchanged (elected and parsed
+    # are persisted in production mode too); only cross-phase pipelining
+    # overlap is lost, so wall time reads slightly higher — keep False
+    # outside benchmarking.
+    phase_labels: bool = False
     # Broadcast the elected url set into the pages scan (no corpus shuffle).
     # Right whenever one wave's election fits in executor memory. Set False
     # on clusters where budget*hosts exceeds broadcast limits — there the
@@ -374,7 +383,15 @@ def crawl(
     config: CrawlConfig | None = None,
     robots: DataFrame | None = None,
     dictionary: DataFrame | None = None,
+    host_components: DataFrame | None = None,
 ) -> CrawlResult:
+    """host_components: optional (netloc string, component long/string) —
+    typically operators.graph.connected_components over the host link
+    graph. When given, the politeness budget binds per COMPONENT (mirror
+    cluster) instead of per host: member hosts share one budget pool sized
+    by the politest member (min of their per-host budgets), so a site
+    mirrored across n hostnames gets budget, not budget*n, per wave.
+    Hosts absent from the mapping keep per-host budgeting."""
     cfg = config or CrawlConfig()
 
     if isinstance(seeds, DataFrame):
@@ -445,6 +462,34 @@ def crawl(
     ).persist()
     rules = robots.mapInPandas(_compile_rules_batches, _RULES_SCHEMA).persist()
 
+    comp_map = None
+    if host_components is not None:
+        # static per-crawl mapping netloc -> (election group, group budget):
+        # the group budget is the MIN member budget — the politest member
+        # governs the whole mirror cluster. Computed once (host-table-sized,
+        # tiny next to the frontier); each wave's election joins it.
+        per_host = (
+            host_components.select(
+                "netloc", F.col("component").cast("string").alias("_comp")
+            )
+            .join(budgets, "netloc", "left")
+            .withColumn("budget", F.coalesce("budget", F.lit(cfg.budget_per_host)))
+        )
+        grp_budget = per_host.groupBy("_comp").agg(
+            F.min("budget").alias("_gbudget")
+        )
+        comp_map = (
+            per_host.join(grp_budget, "_comp")
+            .select(
+                "netloc",
+                # ':' cannot appear in a parsed HOST, so the prefix can
+                # never collide with a real netloc group key
+                F.concat(F.lit("component:"), "_comp").alias("_grp"),
+                "_gbudget",
+            )
+            .persist()
+        )
+
     frontier_cols = ["url", "netloc", "depth", "priority", "referrer",
                      "redirects", "verb", "post_data"]
     seeds_df = spark.createDataFrame(
@@ -464,7 +509,9 @@ def crawl(
     )
     empty_findings = spark.createDataFrame([], FINDINGS_SCHEMA)
 
-    catalog = WaveCatalog(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    catalog = (
+        WaveCatalog(cfg.checkpoint_dir, spark) if cfg.checkpoint_dir else None
+    )
     resumed_from = catalog.last_committed_wave() if catalog else None
 
     pending_findings: list[DataFrame] = []  # pre-wave-0 (seed gating) findings
@@ -561,7 +608,7 @@ def crawl(
         # frontier) which would otherwise each recompute the window chain —
         # the profiler showed half the wave's CPU inside broadcast-exchange
         # recomputations before this.
-        elected, remainder = _elect(frontier, budgets, cfg)
+        elected, remainder = _elect(frontier, budgets, cfg, comp_map)
         elected = elected.persist()
         remainder = remainder.persist()
 
@@ -762,7 +809,15 @@ def crawl(
         # phases instead of merging everything under "count at <unknown>")
         sc = spark.sparkContext
         t0 = time.time()
-        sc.setLocalProperty("callSite.short", "wave_chain")
+        if cfg.phase_labels:
+            # attribution mode: see CrawlConfig.phase_labels
+            sc.setLocalProperty("callSite.short", "wave_elect")
+            elected.count()
+            sc.setLocalProperty("callSite.short", "wave_fetch_parse")
+            parsed.count()
+            sc.setLocalProperty("callSite.short", "wave_probe_gate")
+        else:
+            sc.setLocalProperty("callSite.short", "wave_chain")
         gated.count()
         sc.setLocalProperty("callSite.short", None)
         t_chain = time.time() - t0
@@ -881,6 +936,8 @@ def crawl(
 
     robots.unpersist()
     budgets.unpersist()
+    if comp_map is not None:
+        comp_map.unpersist()
     rules.unpersist()
 
     if catalog is not None and catalog.last_committed_wave() is not None:
@@ -906,49 +963,64 @@ def _union_all(dfs: list[DataFrame], empty: DataFrame) -> DataFrame:
     return out
 
 
-def _elect(frontier: DataFrame, budgets: DataFrame, cfg: CrawlConfig):
-    """Per-netloc top-budget election (W1/W2/J5), skew-proof.
+def _elect(
+    frontier: DataFrame, budgets: DataFrame, cfg: CrawlConfig,
+    comp_map: DataFrame | None = None,
+):
+    """Per-group top-budget election (W1/W2/J5), skew-proof. The group is
+    the netloc by default; with `comp_map` (netloc -> mirror-cluster group
+    + pooled budget, built in crawl() from connected_components output),
+    member hosts share one election pool — per-component crawl budgeting.
 
-    Fast path first: hosts whose pending count fits their budget are elected
-    wholesale — no sort, no window. Only over-budget hosts enter the ranking
-    path, which is two-phase salted: phase 1 ranks within (netloc, salt) so
-    one skew host cannot pin a single reducer; phase 2 ranks the <=
-    B*salt_buckets survivors per netloc. Exact: any row in a netloc's global
-    top-B is in the top-B of its salt bucket, so phase 1 never cuts a winner.
-    Without the fast path, a host with pending >> budget=∞ (throughput mode)
-    or simply 50% of the frontier would serialize the whole wave through one
-    window task.
+    Fast path first: groups whose pending count fits their budget are
+    elected wholesale — no sort, no window. Only over-budget groups enter
+    the ranking path, which is two-phase salted: phase 1 ranks within
+    (group, salt) so one skew group cannot pin a single reducer; phase 2
+    ranks the <= B*salt_buckets survivors per group. Exact: any row in a
+    group's global top-B is in the top-B of its salt bucket, so phase 1
+    never cuts a winner. Without the fast path, a group with pending >>
+    budget=∞ (throughput mode) or simply 50% of the frontier would
+    serialize the whole wave through one window task.
     """
     fr = frontier.join(budgets, "netloc", "left").withColumn(
         "budget", F.coalesce("budget", F.lit(cfg.budget_per_host))
     )
-    host_counts = frontier.groupBy("netloc").agg(F.count("*").alias("n_pending"))
-    fr = fr.join(host_counts, "netloc")
+    if comp_map is not None:
+        fr = (
+            fr.join(comp_map, "netloc", "left")
+            .withColumn("_grp", F.coalesce("_grp", "netloc"))
+            .withColumn("budget", F.coalesce("_gbudget", "budget"))
+            .drop("_gbudget")
+        )
+    else:
+        fr = fr.withColumn("_grp", F.col("netloc"))
+    host_counts = fr.groupBy("_grp").agg(F.count("*").alias("n_pending"))
+    fr = fr.join(host_counts, "_grp")
     under = fr.filter(F.col("n_pending") <= F.col("budget"))
     over = fr.filter(F.col("n_pending") > F.col("budget"))
 
-    elected_fast = under.drop("budget", "n_pending")
+    elected_fast = under.drop("budget", "n_pending", "_grp")
 
     over = over.withColumn(
         "salt", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)).cast("int")
     )
     # total crawl order (contract v3): (priority, url, verb, post_data)
-    w1 = Window.partitionBy("netloc", "salt").orderBy(
+    w1 = Window.partitionBy("_grp", "salt").orderBy(
         "priority", "url", "verb", "post_data"
     )
     over = over.withColumn("rk1", F.row_number().over(w1))
     surv = over.filter(F.col("rk1") <= F.col("budget"))
     spill0 = over.filter(F.col("rk1") > F.col("budget"))
-    w2 = Window.partitionBy("netloc").orderBy(
+    w2 = Window.partitionBy("_grp").orderBy(
         "priority", "url", "verb", "post_data"
     )
     surv = surv.withColumn("rk2", F.row_number().over(w2))
     elected_ranked = surv.filter(F.col("rk2") <= F.col("budget")).drop(
-        "budget", "n_pending", "salt", "rk1", "rk2"
+        "budget", "n_pending", "_grp", "salt", "rk1", "rk2"
     )
     spill1 = surv.filter(F.col("rk2") > F.col("budget"))
-    remainder = spill0.drop("budget", "n_pending", "salt", "rk1").unionByName(
-        spill1.drop("budget", "n_pending", "salt", "rk1", "rk2")
+    remainder = spill0.drop("budget", "n_pending", "_grp", "salt", "rk1").unionByName(
+        spill1.drop("budget", "n_pending", "_grp", "salt", "rk1", "rk2")
     )
     return elected_fast.unionByName(elected_ranked), remainder
 

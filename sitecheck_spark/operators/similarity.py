@@ -215,6 +215,11 @@ def _assign_nearest(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     row per vector per partition crosses the exchange. Ties break to the
     smallest centroid_id (struct ordering), so assignment is deterministic.
 
+    Zero-norm vectors/centroids score exactly 0.0 (the norm product is
+    clamped at 1e-12 — plain cosine() would raise DIVIDE_BY_ZERO under
+    ANSI mode); _assign_nearest_gemm clamps identically, so the two paths
+    agree on these edges too, not just on well-behaved data.
+
     This path is whole-stage-codegen'd but materializes n*k scored rows;
     it is the right shape up to ~10^3 centroids. Past that (10^9+ corpora
     want sqrt(n) centroids), use _assign_nearest_gemm — one Arrow batch
@@ -222,9 +227,10 @@ def _assign_nearest(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     c = centroids.select(
         F.col("centroid_id").alias("_cid"), F.col("centroid").alias("_cvec")
     )
+    a, b = F.col("embedding"), F.col("_cvec")
+    guarded = _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
     scored = vectors.join(F.broadcast(c)).select(
-        "vec_id", "embedding", "_cid",
-        cosine(F.col("embedding"), F.col("_cvec")).alias("_score"),
+        "vec_id", "embedding", "_cid", guarded.alias("_score"),
     )
     return scored.groupBy("vec_id").agg(
         F.max_by(
@@ -242,10 +248,21 @@ def _assign_nearest_gemm(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     per-task closure capture); each mapInPandas batch computes all k
     similarities with a single matmul and emits only the argmax — the
     corpus crosses zero exchanges. Vectorized per-batch, never per-row
-    (SURVEY §2.10)."""
+    (SURVEY §2.10).
+
+    Tie/edge parity with _assign_nearest (so the two paths are
+    interchangeable, not just usually-equal): centroids are sorted by id
+    and np.argmax takes the FIRST maximum, so exact-score ties resolve to
+    the smallest centroid_id — the same tie-break the JVM max_by struct
+    encodes. Zero norms are clamped to 1e-12 on both sides (score exactly
+    0.0), the same guard _assign_nearest applies, so zero-norm vectors and
+    centroids route identically on the two paths."""
     import numpy as np
 
-    rows = centroids.select("centroid_id", "centroid").collect()  # <= 65536
+    # sorted by id => np.argmax's first-wins == smallest-centroid_id ties
+    rows = centroids.select("centroid_id", "centroid").orderBy(
+        "centroid_id"
+    ).collect()  # <= 65536
     ids = np.array([r["centroid_id"] for r in rows], dtype="int64")
     mat = np.array([r["centroid"] for r in rows], dtype="float64")
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

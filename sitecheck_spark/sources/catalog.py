@@ -168,21 +168,66 @@ def _normalize_location(loc: str) -> str:
 def verify_bucketed_table_layout(
     spark: SparkSession, table: str, n_buckets: int, sample: int = 100
 ) -> None:
-    """Sample-based guard that a bucketed table's FILES were written under
-    the declared spec: the bucket id in each file name (part-*-_NNNNN.c*)
-    must equal pmod(hash(url), n_buckets) — Spark's own bucketing function
-    (Murmur3, seed 42). Spark trusts the declaration, so files bucketed
-    under a different modulus would silently drop join matches (phantom
-    404s) instead of erroring."""
+    """Guard that a bucketed table's FILES were written under the declared
+    spec, in two sweeps. (1) Metadata-only: EVERY data file's name must
+    carry a parseable bucket id (part-*-_NNNNN.c*) below n_buckets — a
+    name that does not parse fails closed instead of slipping past the
+    data check as a null. (2) Data: up to `sample` files, spread
+    round-robin across DISTINCT bucket ids (never just the first file a
+    .limit() happens to scan), are read — url column only — and every row
+    must satisfy bucket_id == pmod(hash(url), n_buckets), Spark's own
+    bucketing function (Murmur3, seed 42). Spark trusts the declaration,
+    so files bucketed under a different modulus would silently drop join
+    matches (phantom 404s) instead of erroring."""
+    import re
+
+    info = {
+        r["col_name"].strip(): (r["data_type"] or "").strip()
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(info["Location"])
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    by_bucket: dict[int, list[str]] = {}
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() or name.startswith(("_", ".")):
+            continue
+        m = re.search(r"_(\d{5})\.", name)
+        if not m or int(m.group(1)) >= n_buckets:
+            raise ValueError(
+                f"table {table}: data file {name!r} has no parseable bucket "
+                f"id below {n_buckets} — not written under the declared "
+                f"bucket spec"
+            )
+        by_bucket.setdefault(int(m.group(1)), []).append(
+            st.getPath().toString()
+        )
+    chosen: list[str] = []
+    for files in by_bucket.values():
+        files.sort()
+    while len(chosen) < sample and any(by_bucket.values()):
+        for b in sorted(by_bucket):  # round-robin: one file per bucket
+            if by_bucket[b] and len(chosen) < sample:
+                chosen.append(by_bucket[b].pop())
+    if not chosen:
+        return  # empty table: nothing to verify
     bad = (
-        spark.table(table)
+        spark.read.parquet(*chosen)
         .select(
             "url",
             F.regexp_extract(F.input_file_name(), r"_(\d{5})\.", 1)
-            .cast("int").alias("_file_bucket"),
+            .alias("_fb_raw"),
         )
-        .limit(sample)
-        .filter(F.pmod(F.hash("url"), F.lit(n_buckets)) != F.col("_file_bucket"))
+        .withColumn(
+            "_file_bucket",
+            F.when(F.col("_fb_raw") != "", F.col("_fb_raw").cast("int")),
+        )
+        .filter(
+            F.col("_file_bucket").isNull()  # unparseable fails closed
+            | (F.pmod(F.hash("url"), F.lit(n_buckets))
+               != F.col("_file_bucket"))
+        )
         .count()
     )
     if bad:
@@ -249,17 +294,67 @@ STATE_TABLES = ("frontier", "seen", "shards")
 DELTA_TABLES = ("fetch_log", "findings")
 
 
+def _has_scheme(path: str) -> bool:
+    import re
+
+    return bool(re.match(r"[A-Za-z][A-Za-z0-9+.-]*:", path))
+
+
 class WaveCatalog:
-    def __init__(self, base_dir: str):
-        self.base = base_dir
-        os.makedirs(base_dir, exist_ok=True)
+    """Wave-granular checkpoint store with an atomic rename-commit manifest.
+
+    `base_dir` may be a plain local path (fast path: os/shutil) or any
+    Spark-readable URI (file://, hdfs://, s3a://, ...) — URI bases route
+    every write (table rename-into-place, manifest tmp+rename) through the
+    JVM Hadoop FileSystem API, the same seam the read side
+    (read_deltas_through, pages_sidecar_buckets) already uses, so the
+    commit protocol runs wherever the cluster's checkpoints live, not just
+    on the driver's local disk. Caveat inherited from the FS: rename is
+    atomic on HDFS/file, copy-based on raw S3 (use a consistent committer
+    layer there, as any Spark job must).
+
+    `spark` is required for URI bases (the Hadoop FS lives in the JVM);
+    the local fast path works without it.
+    """
+
+    def __init__(self, base_dir: str, spark: SparkSession | None = None):
+        self.base = base_dir.rstrip("/")
+        self.spark = spark
+        self.remote = _has_scheme(self.base)
+        if not self.remote:
+            os.makedirs(base_dir, exist_ok=True)
+        else:
+            fs, hpath = self._fs(self.base)
+            fs.mkdirs(hpath)
+
+    def _fs(self, path: str):
+        if self.spark is None:
+            raise ValueError(
+                f"WaveCatalog base {self.base!r} is a URI — pass the "
+                f"SparkSession so the Hadoop FileSystem API is reachable"
+            )
+        return _hadoop_fs(self.spark, path)
 
     # -- manifest ----------------------------------------------------------
 
     def _manifest_path(self) -> str:
+        if self.remote:
+            return self.base + "/" + MANIFEST
         return os.path.join(self.base, MANIFEST)
 
     def read_manifest(self) -> dict | None:
+        if self.remote:
+            fs, hpath = self._fs(self._manifest_path())
+            if not fs.exists(hpath):
+                return None
+            stream = fs.open(hpath)
+            try:
+                body = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            return json.loads(body)
         try:
             with open(self._manifest_path()) as f:
                 return json.load(f)
@@ -273,12 +368,29 @@ class WaveCatalog:
     # -- table IO ----------------------------------------------------------
 
     def _table_dir(self, name: str, wave: int) -> str:
+        if self.remote:
+            return f"{self.base}/{name}/wave={wave}"
         return os.path.join(self.base, name, f"wave={wave}")
 
     def _write_table(self, df: DataFrame, name: str, wave: int) -> dict:
+        dest = self._table_dir(name, wave)
+        if self.remote:
+            tmp = f"{self.base}/.tmp/{uuid.uuid4().hex}"
+            df.write.mode("overwrite").parquet(tmp)
+            jvm = df.sparkSession._jvm
+            fs, dpath = _hadoop_fs(df.sparkSession, dest)
+            if fs.exists(dpath):  # orphan from a killed uncommitted wave
+                fs.delete(dpath, True)
+            fs.mkdirs(dpath.getParent())
+            if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dpath):
+                raise IOError(f"rename {tmp} -> {dest} failed")
+            sizes = [
+                st.getLen() for st in fs.listStatus(dpath)
+                if st.getPath().getName().endswith(".parquet")
+            ]
+            return {"path": dest, "n_files": len(sizes), "bytes": sum(sizes)}
         tmp = os.path.join(self.base, ".tmp", uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(tmp)
-        dest = self._table_dir(name, wave)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         if os.path.exists(dest):  # orphan from a killed uncommitted wave
             shutil.rmtree(dest)
@@ -368,9 +480,47 @@ class WaveCatalog:
             "lineage": lineage,
             "metrics": metrics or {},
         }
+        body = json.dumps(prev, indent=1)
+        if self.remote:
+            # same tmp+rename commit point, through the Hadoop FS: hflush
+            # pushes the bytes to the FS before the rename makes them the
+            # manifest (hsync where the FS honors it).
+            fs, tpath = self._fs(self.base + "/.manifest.tmp")
+            out = fs.create(tpath, True)
+            try:
+                out.write(bytearray(body.encode("utf-8")))
+                try:
+                    out.hsync()
+                except Exception:
+                    out.hflush()
+            finally:
+                out.close()
+            jvm = self.spark._jvm
+            mpath = jvm.org.apache.hadoop.fs.Path(self._manifest_path())
+            try:
+                # FileContext rename(OVERWRITE): atomic on HDFS/file — no
+                # manifest-less window for a concurrent reader.
+                fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                    tpath.toUri(), self.spark._jsc.hadoopConfiguration()
+                )
+                rename_cls = getattr(jvm.org.apache.hadoop.fs, "Options$Rename")
+                opts = self.spark.sparkContext._gateway.new_array(rename_cls, 1)
+                opts[0] = rename_cls.OVERWRITE
+                fc.rename(tpath, mpath, opts)
+            except Exception:
+                # FS without a FileContext binding (some object stores):
+                # delete+rename — a crash between the two leaves the valid
+                # .manifest.tmp behind, never a corrupt manifest.
+                if fs.exists(mpath):
+                    fs.delete(mpath, False)  # plain rename won't overwrite
+                if not fs.rename(tpath, mpath):
+                    raise IOError(
+                        f"manifest rename failed under {self.base}"
+                    )
+            return
         tmp = os.path.join(self.base, ".manifest.tmp")
         with open(tmp, "w") as f:
-            json.dump(prev, f, indent=1)
+            f.write(body)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self._manifest_path())

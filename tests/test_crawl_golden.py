@@ -219,3 +219,77 @@ def test_post_form_requests_distinct_identity(spark):
     assert got_seen == gold.seen
     assert ("POST", b, "page=0") in gold.seen and ("GET", b, "") in gold.seen
     eng.release()
+
+
+def test_component_budget_pools_mirror_hosts(spark):
+    """host_components (X26's promised consumer): politeness budget binds
+    per connected component of the host graph, not per host — two mirror
+    hosts share ONE budget pool sized by the politest member, and the
+    pooled election keeps the contract-v3 total order (priority, url, verb,
+    post_data) across the merged pool. The components are derived by
+    actually running operators.graph.connected_components on the host link
+    graph, not hand-assigned."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from sitecheck_spark.extract import extract_text
+    from sitecheck_spark.operators.graph import connected_components
+
+    ts = datetime(2024, 1, 1)
+    hosts = ["a.example.net", "b.example.net", "c.example.net"]
+
+    def page(host, path, html):
+        return (f"https://{host}{path}", ts, html.encode(),
+                extract_text(html), "en")
+
+    def fanout(host, cross=None):
+        links = "".join(f'<a href="/{i}.html">x</a>' for i in range(1, 10))
+        if cross:
+            links += f'<a href="https://{cross}/0.html">m</a>'
+        rows = [page(host, "/0.html", links)]
+        rows += [page(host, f"/{i}.html", "leaf") for i in range(1, 10)]
+        return rows
+
+    rows = fanout("a.example.net", cross="b.example.net") \
+        + fanout("b.example.net", cross="a.example.net") \
+        + fanout("c.example.net")
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    seeds = [f"https://{h}/0.html" for h in hosts]
+    base = dict(budget_per_host=3, max_waves=2, n_shards=2, salt_buckets=2,
+                run_checkers=False)
+
+    # components from the real CC operator over the host link graph
+    # (a <-> b cross-linked, c isolated)
+    host_ids = spark.createDataFrame(
+        list(enumerate(hosts)), "node long, netloc string"
+    )
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    comp = connected_components(host_ids.select("node"), edges)
+    host_components = host_ids.join(comp, "node").select("netloc", "component")
+    assert {tuple(r) for r in host_components.collect()} == {
+        ("a.example.net", 0), ("b.example.net", 0), ("c.example.net", 2)
+    }
+
+    plain = crawl(spark, pages, seeds, CrawlConfig(**base))
+    pooled = crawl(spark, pages, seeds, CrawlConfig(**base),
+                   host_components=host_components)
+
+    def wave1(res):
+        return sorted(
+            r["url"] for r in res.fetch_log.filter(F.col("wave") == 1).collect()
+        )
+
+    # per-host: 3 from each of a, b, c
+    assert len(wave1(plain)) == 9
+    # pooled: a+b share one budget of 3; the contract-v3 order over the
+    # merged pool elects the lexicographically-first urls (equal priority),
+    # all on host a; c keeps its own 3
+    got = wave1(pooled)
+    assert len(got) == 6
+    assert [u for u in got if "c.example.net" not in u] == [
+        "https://a.example.net/1.html",
+        "https://a.example.net/2.html",
+        "https://a.example.net/3.html",
+    ]
+    plain.release()
+    pooled.release()

@@ -224,6 +224,32 @@ def test_ivf_gemm_assignment_matches_jvm(spark):
     assert jvm == gemm and len(jvm) == 120
 
 
+def test_ivf_gemm_tie_and_zero_norm_parity(spark):
+    """Adversarial parity: exact-score ties (duplicate centroids) must
+    resolve to the smallest centroid_id on BOTH assignment paths, and
+    zero-norm vectors/centroids (clamped to score exactly 0.0 — plain
+    cosine would raise DIVIDE_BY_ZERO under ANSI) must route identically —
+    the edge cases where the GEMM path could silently diverge from the JVM
+    path it stands in for."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]),    # ties centroids 0 and 2 exactly at score 1
+         (2, [0.0, 0.0]),    # zero-norm vector: every score 0 -> min id
+         (3, [0.0, 1.0]),    # orthogonal to all: every score 0 -> min id
+         (4, [-1.0, 0.0])],  # zero-norm centroid's 0 beats the -1 scores
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    jvm = {(r["vec_id"], r["centroid_id"]) for r in
+           similarity._assign_nearest(emb, cents).collect()}
+    gemm = {(r["vec_id"], r["centroid_id"]) for r in
+            similarity._assign_nearest_gemm(emb, cents).collect()}
+    assert jvm == gemm
+    assert jvm == {(1, 0), (2, 0), (3, 0), (4, 1)}
+
+
 def test_ivf_fit_deterministic_and_complete(spark):
     """Training twice on the same input yields the same quantizer, every
     vector lands in exactly one inverted list, and centroid dim matches."""

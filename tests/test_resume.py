@@ -71,6 +71,31 @@ def test_kill_and_resume_equals_uninterrupted(spark, pages, tmp_path):
         res.release()
 
 
+def test_kill_and_resume_with_file_uri_checkpoint(spark, pages, tmp_path):
+    """The commit protocol must run when checkpoint_dir is a Hadoop URI,
+    not just a local path: WaveCatalog routes table renames and the
+    manifest tmp+rename through the Hadoop FileSystem API for scheme'd
+    bases (the read side already did — X20), so a kill/resume cycle
+    against file:// must be byte-equal to the uninterrupted run."""
+    seeds = make_seeds_pdf().url.tolist()
+    baseline = crawl(spark, pages, seeds, _cfg())
+
+    ckpt = "file://" + str(tmp_path / "ckpt_uri")
+    partial = crawl(spark, pages, seeds, _cfg(max_waves=2, checkpoint_dir=ckpt))
+    assert WaveCatalog(ckpt, spark).last_committed_wave() == 1
+    # manifest really lives behind the URI (written via Hadoop FS)
+    assert os.path.exists(str(tmp_path / "ckpt_uri" / "manifest.json"))
+    # URI base without a SparkSession must fail loudly, not fall back to os.*
+    with pytest.raises(ValueError, match="SparkSession"):
+        WaveCatalog(ckpt).read_manifest()
+
+    resumed = crawl(spark, pages, seeds, _cfg(checkpoint_dir=ckpt))
+    assert _summary(resumed) == _summary(baseline)
+    assert resumed.waves == baseline.waves
+    for res in (baseline, partial, resumed):
+        res.release()
+
+
 def test_resume_of_finished_crawl_is_noop(spark, pages, tmp_path):
     seeds = make_seeds_pdf().url.tolist()
     ckpt = str(tmp_path / "ckpt2")
