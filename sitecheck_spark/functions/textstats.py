@@ -103,6 +103,84 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_ws_tokens", ws).withColumn("n_bpe_tokens", bpe)
 
 
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style repetition features + keep verdict per document —
+    the standard pre-training quality gate (repetitious docs are boilerplate
+    / spam / scraped nav chrome).
+
+    Features (exact integer-count ratios, bit-identical across engines):
+      dup_word_ratio    1 - distinct_words / n_words
+      top_word_ratio    occurrences of the most frequent word / n_words
+      top_bigram_ratio  occurrences of the most frequent adjacent pair /
+                        (n_words - 1)
+      keep              the filter verdict: n_words in [10, 100000] and
+                        top_word_ratio <= 0.20 and top_bigram_ratio <= 0.18
+                        (Gopher-flavored thresholds; tune per corpus)
+    Ties for "most frequent" resolve to the lexicographically smallest
+    word/bigram — min over (-count, token) — so the argmax is total and the
+    DuckDB oracle reproduces it exactly.
+
+    Plan shape at scale: tokens explode once, then two partial-aggregated
+    shuffles keyed by (doc, token) and doc — the same bounded-fan-out shape
+    the dedup tier uses; nothing is per-row Python and no token list ever
+    gathers beyond its own document group. Documents with < 2 words have
+    NULL top_bigram_* (no bigrams exist) and keep = false (below the word
+    floor)."""
+    d = df.select(id_col, words_col(text_col).alias("_w"))
+    # adjacent pairs, array-level (0-based subscripts): w[i] || ' ' || w[i+1]
+    d = d.withColumn(
+        "_bg",
+        # guard: sequence(0, -1) counts DOWN under ANSI and indexes out of
+        # bounds, so short arrays must short-circuit to an empty bigram list
+        F.expr("CASE WHEN size(_w) >= 2 THEN "
+               "transform(sequence(0, size(_w) - 2), i -> "
+               "concat(_w[i], ' ', _w[i + 1])) "
+               "ELSE CAST(array() AS ARRAY<STRING>) END"),
+    )
+    tok = d.select(id_col, F.explode_outer("_w").alias("tok"))
+    wc = tok.groupBy(id_col, "tok").agg(F.count("tok").alias("cnt"))
+    words = wc.groupBy(id_col).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_words"),
+        F.count("tok").alias("n_distinct"),
+        F.min(
+            F.when(
+                F.col("tok").isNotNull(),
+                F.struct((-F.col("cnt")).alias("nc"), F.col("tok").alias("t")),
+            )
+        ).alias("_top"),
+    )
+    bg = d.select(id_col, F.explode("_bg").alias("tok"))
+    bgc = bg.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
+    bigrams = bgc.groupBy(id_col).agg(
+        F.sum("cnt").alias("_n_bigrams"),
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("tok").alias("t")))
+        .alias("_btop"),
+    )
+    out = words.join(bigrams, id_col, "left")
+    n_words = F.col("n_words")
+    top_ratio = (-F.col("_top.nc")).cast("double") / n_words.cast("double")
+    btop_ratio = (
+        (-F.col("_btop.nc")).cast("double") / F.col("_n_bigrams").cast("double")
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "n_distinct",
+        F.when(n_words > 0,
+               F.lit(1.0) - F.col("n_distinct").cast("double")
+               / n_words.cast("double")).alias("dup_word_ratio"),
+        F.col("_top.t").alias("top_word"),
+        F.when(n_words > 0, top_ratio).alias("top_word_ratio"),
+        F.col("_btop.t").alias("top_bigram"),
+        btop_ratio.alias("top_bigram_ratio"),
+        (
+            (n_words >= 10) & (n_words <= 100000)
+            & (top_ratio <= 0.20) & (btop_ratio <= 0.18)
+        ).alias("keep"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized
     lowercase text. (The exact-dedup key; md5 is identical across engines.)"""

@@ -872,6 +872,156 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+_REPETITION_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents
+),
+wc AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS tok FROM d) GROUP BY 1, 2
+),
+words AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         count(*) AS n_distinct FROM wc GROUP BY 1
+),
+wtop AS (
+  SELECT doc_id, tok AS top_word FROM (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+    FROM wc) WHERE rn = 1
+),
+bgc AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS tok
+    FROM d) GROUP BY 1, 2
+),
+bsum AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams
+         FROM bgc GROUP BY 1),
+btop AS (
+  SELECT doc_id, tok AS top_bigram, cnt AS bcnt FROM (
+    SELECT doc_id, tok, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+    FROM bgc) WHERE rn = 1
+),
+wcnt AS (
+  SELECT w.doc_id, w.n_words, w.n_distinct, t.top_word, c.cnt AS wcnt
+  FROM words w JOIN wtop t USING (doc_id)
+  JOIN wc c ON c.doc_id = w.doc_id AND c.tok = t.top_word
+)
+SELECT base.doc_id,
+       COALESCE(wcnt.n_words, 0) AS n_words,
+       COALESCE(wcnt.n_distinct, 0) AS n_distinct,
+       CASE WHEN wcnt.n_words > 0
+            THEN 1.0 - CAST(wcnt.n_distinct AS DOUBLE)
+                       / CAST(wcnt.n_words AS DOUBLE) END AS dup_word_ratio,
+       wcnt.top_word,
+       CASE WHEN wcnt.n_words > 0
+            THEN CAST(wcnt.wcnt AS DOUBLE)
+                 / CAST(wcnt.n_words AS DOUBLE) END AS top_word_ratio,
+       btop.top_bigram,
+       CAST(btop.bcnt AS DOUBLE) / CAST(bsum.n_bigrams AS DOUBLE)
+         AS top_bigram_ratio,
+       (COALESCE(wcnt.n_words, 0) >= 10 AND COALESCE(wcnt.n_words, 0) <= 100000
+        AND CAST(wcnt.wcnt AS DOUBLE) / CAST(wcnt.n_words AS DOUBLE) <= 0.20
+        AND CAST(btop.bcnt AS DOUBLE) / CAST(bsum.n_bigrams AS DOUBLE) <= 0.18)
+         AS keep
+FROM (SELECT doc_id FROM documents) base
+LEFT JOIN wcnt USING (doc_id)
+LEFT JOIN btop USING (doc_id)
+LEFT JOIN bsum USING (doc_id)
+"""
+
+
+@query("q_repetition_quality", _REPETITION_SQL)
+def q_repetition_quality(spark, sf_dir):
+    """Gopher/C4-style repetition quality gate (functions/textstats.
+    repetition_features): duplicate-word / top-word / top-bigram ratios
+    with a total-order argmax tie-break and the keep verdict — the
+    standard pre-training boilerplate filter, oracle-checked bit-for-bit
+    (exact integer-count ratios)."""
+    return textstats.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+_DIFF_SPLIT = "2024-01-16"
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH old_snap AS (
+  SELECT user_id, value AS old_value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{_DIFF_SPLIT}') WHERE rn = 1
+),
+new_snap AS (
+  SELECT user_id, value AS new_value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            WHEN o.old_value IS DISTINCT FROM n.new_value THEN 'changed'
+       END AS change,
+       o.old_value, n.new_value
+FROM old_snap o FULL OUTER JOIN new_snap n USING (user_id)
+WHERE (CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            WHEN o.old_value IS DISTINCT FROM n.new_value THEN 'changed'
+       END) IS NOT NULL
+"""
+
+
+@query("q_snapshot_diff", _SNAPSHOT_DIFF_SQL)
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental-recrawl diff (operators/diff.snapshot_diff): the as-of
+    state per user at mid-month vs now, classified added/changed (removed
+    cannot occur here — the old snapshot is a prefix of the new). The
+    as-of pick is one max_by partial agg with the total (ts, event_id)
+    tie-break (same shape as latest_pages, crawl.py:148); the diff is one
+    full-outer join keyed on user_id."""
+    from sitecheck_spark.operators.diff import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+
+    def as_of(df):
+        return df.groupBy("user_id").agg(
+            F.max_by("value", F.struct("ts", "event_id")).alias("value")
+        )
+
+    old = as_of(ev.filter(F.col("ts") < F.lit(_DIFF_SPLIT).cast("timestamp")))
+    new = as_of(ev)
+    return snapshot_diff(old, new, ["user_id"], "value")
+
+
+_SAMPLE_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+      (CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60 WHEN 'fr' THEN 100
+                 ELSE 10 END)
+"""
+
+
+@query("q_sample_stratified", _SAMPLE_SQL)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample (operators/sampling): per-language
+    keep rates (en 30%, de 60%, fr 100%, others 10%) via the
+    Knuth-multiplicative key bucket — a pure scan-level predicate (no
+    shuffle, no RNG), bit-stable across reruns/engines; production swaps
+    the mixer for xxhash64 with the same predicate shape."""
+    from sitecheck_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(
+        docs, "lang", {"en": 30, "de": 60, "fr": 100}, "doc_id",
+        default_rate=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-pipeline dedup
 # ---------------------------------------------------------------------------

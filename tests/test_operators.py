@@ -623,3 +623,84 @@ def test_wave_findings_pass_single_scan_equality(spark):
     assert sorted(got) == sorted(want)
     mods = {m for m, *_ in got}
     assert {"broken_link", "redirect", "metadata", "spelling"} <= mods
+
+
+def test_snapshot_diff_classification(spark):
+    """added / removed / changed / unchanged-dropped, incl. null values as
+    real states (null -> 7.0 is 'changed'; null -> null is unchanged)."""
+    from sitecheck_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 5.0), (2, 3.0), (3, None), (4, None), (5, 9.0)],
+        "k long, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 7.0), (4, None), (6, 1.0)],
+        "k long, v double",
+    )
+    got = {(r["k"], r["change"], r["old_value"], r["new_value"])
+           for r in snapshot_diff(old, new, ["k"], "v").collect()}
+    assert got == {
+        (2, "changed", 3.0, 4.0),
+        (3, "changed", None, 7.0),
+        (5, "removed", 9.0, None),
+        (6, "added", None, 1.0),
+    }
+
+
+def test_stratified_sample_deterministic_and_rate_bound(spark):
+    """Membership is a pure key predicate: identical across reruns and
+    repartitions, 100%% strata keep everything, 0%% (absent) strata keep
+    nothing, and realized rates land near the target."""
+    from pyspark.sql import functions as F
+    from sitecheck_spark.operators.sampling import stratified_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en")
+        .when(F.col("id") % 4 == 1, "fr")
+        .when(F.col("id") % 4 == 2, "de")
+        .otherwise("zh").alias("lang"),
+    )
+    rates = {"en": 30, "fr": 100, "de": 0}
+    s1 = stratified_sample(df, "lang", rates, "doc_id")
+    s2 = stratified_sample(df.repartition(7), "lang", rates, "doc_id")
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    ids2 = {r["doc_id"] for r in s2.collect()}
+    assert ids1 == ids2  # partition-layout independent
+    by_lang = {r["lang"]: r["n"] for r in
+               s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("fr") == 500          # 100%: every fr row
+    assert "de" not in by_lang               # 0%: none
+    assert "zh" not in by_lang               # default_rate=0: none
+    assert 0.2 <= by_lang["en"] / 500 <= 0.4  # 30% +- sampling noise
+
+
+def test_repetition_features_exact_small(spark):
+    """Hand-checkable ratios, smallest-token argmax tie-break, and the
+    degenerate empty / single-word documents."""
+    from sitecheck_spark.functions.textstats import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            # 'b b a a c' -> a and b tie at 2; tie-break -> 'a'
+            (1, "b b a a c"),
+            (2, ""),        # no words at all
+            (3, "solo"),    # one word, no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_distinct"]) == (5, 3)
+    assert r1["top_word"] == "a" and r1["top_word_ratio"] == 2 / 5
+    # bigrams: 'b b','b a','a a','a c' all unique -> tie-break 'a a'
+    assert r1["top_bigram"] == "a a" and r1["top_bigram_ratio"] == 1 / 4
+    assert r1["dup_word_ratio"] == 1 - 3 / 5
+    assert r1["keep"] is False  # below the 10-word floor
+    r2 = rows[2]
+    assert r2["n_words"] == 0 and r2["top_word"] is None
+    assert r2["top_bigram"] is None and r2["keep"] is False
+    r3 = rows[3]
+    assert (r3["n_words"], r3["top_word"]) == (1, "solo")
+    assert r3["top_bigram"] is None and r3["keep"] is False
