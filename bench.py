@@ -53,6 +53,8 @@ HEADLINE = [
     "q_connected_components",
     "q_heavy_hitters",
     "q_redirect_chains",
+    "q_repetition_quality",
+    "q_pack_sequences",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

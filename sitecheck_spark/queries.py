@@ -1006,6 +1006,46 @@ WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
 """
 
 
+_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id % 4 AS stream, doc_id AS ord,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT stream, ord, n,
+         CAST(sum(n) OVER (PARTITION BY stream ORDER BY ord
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM t
+),
+s AS (SELECT stream, ord, n, e - n AS st, e FROM c WHERE n > 0)
+SELECT stream, ord AS "order", bin,
+       greatest(st, bin * 128) - st AS doc_tok_start,
+       least(e, bin * 128 + 128) - st AS doc_tok_end,
+       greatest(st, bin * 128) - bin * 128 AS bin_tok_start
+FROM s, unnest(generate_series(st // 128, (e - 1) // 128)) AS u(bin)
+"""
+
+
+@query("q_pack_sequences", _PACK_SQL)
+def q_pack_sequences(spark, sf_dir):
+    """Training-example packing (operators/packing.pack_sequences):
+    concatenate each stream's documents in doc_id order and chunk the
+    token stream into 128-token bins — offset arithmetic over one window
+    cumsum, no sequential state. Streams = doc_id % 4 so the window
+    parallelizes; oracle reproduces the spans exactly (integer
+    arithmetic)."""
+    from sitecheck_spark.operators.packing import pack_sequences
+
+    docs = textstats.token_counts(_t(spark, sf_dir, "documents"))
+    d = docs.select(
+        (F.col("doc_id") % 4).alias("stream"),
+        F.col("doc_id").alias("ord"),
+        F.col("n_ws_tokens"),
+    )
+    return pack_sequences(d, "stream", "ord", "n_ws_tokens", 128)
+
+
 @query("q_sample_stratified", _SAMPLE_SQL)
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sample (operators/sampling): per-language

@@ -704,3 +704,48 @@ def test_repetition_features_exact_small(spark):
     r3 = rows[3]
     assert (r3["n_words"], r3["top_word"]) == (1, "solo")
     assert r3["top_bigram"] is None and r3["keep"] is False
+
+
+def test_pack_sequences_invariants(spark):
+    """Every bin except a stream's last holds exactly max_len tokens with
+    no gaps or overlaps; each doc's slices tile [0, n_tokens); zero-token
+    docs vanish."""
+    from sitecheck_spark.operators.packing import pack_sequences
+
+    rows = [(i % 2, i, [0, 5, 130, 128, 1, 64, 200, 17, 0, 99][i])
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "stream long, ord long, n long")
+    out = pack_sequences(df, "stream", "ord", "n", 64).collect()
+    assert all(r["doc_tok_end"] > r["doc_tok_start"] for r in out)
+    # doc slices tile the doc exactly
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["order"], []).append(
+            (r["doc_tok_start"], r["doc_tok_end"]))
+    n_of = {i: rows[i][2] for i in range(10)}
+    assert set(by_doc) == {i for i in range(10) if n_of[i] > 0}
+    for ordv, slices in by_doc.items():
+        slices.sort()
+        assert slices[0][0] == 0 and slices[-1][1] == n_of[ordv]
+        assert all(a[1] == b[0] for a, b in zip(slices, slices[1:]))
+    # bins are full (== max_len) except each stream's last
+    fill = {}
+    for r in out:
+        key = (r["stream"], r["bin"])
+        fill[key] = fill.get(key, 0) + r["doc_tok_end"] - r["doc_tok_start"]
+    for stream in {r["stream"] for r in out}:
+        bins = sorted(b for (s, b) in fill if s == stream)
+        assert bins == list(range(len(bins)))  # contiguous from 0
+        for b in bins[:-1]:
+            assert fill[(stream, b)] == 64
+        assert 0 < fill[(stream, bins[-1])] <= 64
+    # bin_tok_start is consistent with cumulative placement
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r["stream"], r["bin"]), []).append(r)
+    for parts in by_bin.values():
+        parts.sort(key=lambda r: r["bin_tok_start"])
+        pos = parts[0]["bin_tok_start"]
+        for r in parts:
+            assert r["bin_tok_start"] == pos
+            pos += r["doc_tok_end"] - r["doc_tok_start"]
