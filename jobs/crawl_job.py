@@ -15,12 +15,14 @@ executors, memory); this script only builds the session when run standalone.
 A killed job rerun with the same --checkpoint-dir resumes exactly from the
 last committed wave (sitecheck_spark/sources/catalog.py).
 
-PATH RESTRICTIONS: --pages may be any Spark-readable URI (s3://, hdfs://,
-file:). --out and --checkpoint-dir must be LOCAL/POSIX paths visible to the
-driver (local disk or NFS): the wave catalog's atomic-rename commit protocol
-and the report summary use os.rename/open, which do not speak object-store
-URIs. Object-store checkpointing is exactly the seam the Iceberg catalog
-fills when its runtime jar is available (sources/catalog.py docstring).
+PATH RESTRICTIONS: --pages and --checkpoint-dir may be any Spark-readable
+URI (s3a://, hdfs://, file://) — the wave catalog routes its rename-commit
+protocol through the Hadoop FileSystem API for scheme'd bases (with the
+local-path fast path kept; on raw S3 use a consistent committer layer, as
+rename is copy-based there). --out must remain a LOCAL/POSIX path visible
+to the driver: the report summary writes with plain open(). A real Iceberg
+catalog replaces the parquet wave tables wholesale when its runtime jar is
+available (sources/catalog.py docstring).
 """
 
 from __future__ import annotations
