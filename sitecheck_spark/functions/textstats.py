@@ -131,12 +131,15 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     # adjacent pairs, array-level (0-based subscripts): w[i] || ' ' || w[i+1]
     d = d.withColumn(
         "_bg",
-        # guard: sequence(0, -1) counts DOWN under ANSI and indexes out of
-        # bounds, so short arrays must short-circuit to an empty bigram list
-        F.expr("CASE WHEN size(_w) >= 2 THEN "
-               "transform(sequence(0, size(_w) - 2), i -> "
-               "concat(_w[i], ' ', _w[i + 1])) "
-               "ELSE CAST(array() AS ARRAY<STRING>) END"),
+        # zip the array against its own 1-shift: no conditional, no index
+        # arithmetic. (A CASE WHEN size(_w)>=2 guard around a
+        # transform(sequence(...), _w[i]) variant re-evaluated the regex
+        # subtree per element — 10.5 s vs 2.4 s for this form at sf0.1 —
+        # and unguarded sequence(0, size-2) counts DOWN on short arrays
+        # under ANSI and throws. slice(_, _, 0) is just empty.)
+        F.expr("zip_with(slice(_w, 1, greatest(size(_w) - 1, 0)), "
+               "slice(_w, 2, greatest(size(_w) - 1, 0)), "
+               "(a, b) -> concat(a, ' ', b))"),
     )
     tok = d.select(id_col, F.explode_outer("_w").alias("tok"))
     wc = tok.groupBy(id_col, "tok").agg(F.count("tok").alias("cnt"))
