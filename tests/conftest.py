@@ -21,12 +21,14 @@ def spark():
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        # 12g: the suite grew past what 6g holds — rounds 2-4 each added
-        # crawl-heavy tests, and a near-full heap turns TaskMemoryManager
-        # page allocation into a retry storm (observed: full suite 10x
-        # slower, then executor death mid test_sources) long before a clean
-        # OOM. The host has 128G; the bench sessions use 48g.
-        .config("spark.driver.memory", "12g")
+        # 16g: the suite grew past what 6g (rounds 2-4) and then 12g
+        # (round 6: +9 crawl-heavy tests -> broadcast-build OOM in
+        # test_resume late in the session) holds — a near-full heap turns
+        # TaskMemoryManager page allocation into a retry storm (observed:
+        # full suite 10x slower, then executor death mid test_sources)
+        # long before a clean OOM. The host has 128G; bench sessions use
+        # 48g.
+        .config("spark.driver.memory", "16g")
         # generous RPC/heartbeat margin: under host contention a paused JVM
         # must not read as a dead one
         .config("spark.network.timeout", "600s")

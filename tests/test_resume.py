@@ -49,9 +49,23 @@ def _summary(res):
     return log, seen
 
 
-def test_kill_and_resume_equals_uninterrupted(spark, pages, tmp_path):
+@pytest.fixture(scope="module")
+def baseline_run(spark, pages):
+    """Uninterrupted-crawl reference, computed ONCE for the module and
+    held only as Python summaries (the frames are released immediately):
+    several kill/resume tests compare against it, and each extra full
+    crawl in this module is real heap pressure on the shared session —
+    the round-6 suite hit broadcast-build OOM from exactly that."""
+    res = crawl(spark, pages, make_seeds_pdf().url.tolist(), _cfg())
+    summary, waves = _summary(res), res.waves
+    res.release()
+    return summary, waves
+
+
+def test_kill_and_resume_equals_uninterrupted(spark, pages, tmp_path,
+                                              baseline_run):
+    base_summary, base_waves = baseline_run
     seeds = make_seeds_pdf().url.tolist()
-    baseline = crawl(spark, pages, seeds, _cfg())
 
     ckpt = str(tmp_path / "ckpt")
     # "killed" after wave 1 (max_waves=2 simulates the kill point)
@@ -65,20 +79,21 @@ def test_kill_and_resume_equals_uninterrupted(spark, pages, tmp_path):
         f.write(b"not parquet")
 
     resumed = crawl(spark, pages, seeds, _cfg(checkpoint_dir=ckpt))
-    assert _summary(resumed) == _summary(baseline)
-    assert resumed.waves == baseline.waves
-    for res in (baseline, partial, resumed):
-        res.release()
+    assert _summary(resumed) == base_summary
+    assert resumed.waves == base_waves
+    partial.release()
+    resumed.release()
 
 
-def test_kill_and_resume_with_file_uri_checkpoint(spark, pages, tmp_path):
+def test_kill_and_resume_with_file_uri_checkpoint(spark, pages, tmp_path,
+                                                  baseline_run):
     """The commit protocol must run when checkpoint_dir is a Hadoop URI,
     not just a local path: WaveCatalog routes table renames and the
     manifest tmp+rename through the Hadoop FileSystem API for scheme'd
     bases (the read side already did — X20), so a kill/resume cycle
     against file:// must be byte-equal to the uninterrupted run."""
+    base_summary, base_waves = baseline_run
     seeds = make_seeds_pdf().url.tolist()
-    baseline = crawl(spark, pages, seeds, _cfg())
 
     ckpt = "file://" + str(tmp_path / "ckpt_uri")
     partial = crawl(spark, pages, seeds, _cfg(max_waves=2, checkpoint_dir=ckpt))
@@ -90,10 +105,10 @@ def test_kill_and_resume_with_file_uri_checkpoint(spark, pages, tmp_path):
         WaveCatalog(ckpt).read_manifest()
 
     resumed = crawl(spark, pages, seeds, _cfg(checkpoint_dir=ckpt))
-    assert _summary(resumed) == _summary(baseline)
-    assert resumed.waves == baseline.waves
-    for res in (baseline, partial, resumed):
-        res.release()
+    assert _summary(resumed) == base_summary
+    assert resumed.waves == base_waves
+    partial.release()
+    resumed.release()
 
 
 def test_resume_of_finished_crawl_is_noop(spark, pages, tmp_path):
