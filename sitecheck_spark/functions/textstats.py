@@ -121,46 +121,50 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     word/bigram — min over (-count, token) — so the argmax is total and the
     DuckDB oracle reproduces it exactly.
 
-    Plan shape at scale: tokens explode once, then two partial-aggregated
-    shuffles keyed by (doc, token) and doc — the same bounded-fan-out shape
-    the dedup tier uses; nothing is per-row Python and no token list ever
-    gathers beyond its own document group. Documents with < 2 words have
-    NULL top_bigram_* (no bigrams exist) and keep = false (below the word
-    floor)."""
+    Plan shape at scale: the text is tokenized ONCE — words and bigrams
+    are tagged structs in one combined array, so one explode feeds two
+    partial-aggregated shuffles keyed by (doc, tag, token) and doc (the
+    dedup tier's bounded-fan-out shape), and the word/bigram features
+    come out of a single conditional aggregation with no join. Nothing is
+    per-row Python; no token list ever gathers beyond its own document
+    group. Documents with < 2 words have NULL top_bigram_* (no bigrams
+    exist) and keep = false (below the word floor)."""
     d = df.select(id_col, words_col(text_col).alias("_w"))
-    # adjacent pairs, array-level (0-based subscripts): w[i] || ' ' || w[i+1]
     d = d.withColumn(
         "_bg",
-        # zip the array against its own 1-shift: no conditional, no index
-        # arithmetic. (A CASE WHEN size(_w)>=2 guard around a
-        # transform(sequence(...), _w[i]) variant re-evaluated the regex
-        # subtree per element — 10.5 s vs 2.4 s for this form at sf0.1 —
+        # bigrams by zipping the array against its own 1-shift: no
+        # conditional, no index arithmetic. (A CASE WHEN size(_w)>=2 guard
+        # around a transform(sequence(...), _w[i]) variant re-evaluated
+        # the tokenizer regex per element — 10.5 s vs 2.4 s at sf0.1 —
         # and unguarded sequence(0, size-2) counts DOWN on short arrays
         # under ANSI and throws. slice(_, _, 0) is just empty.)
         F.expr("zip_with(slice(_w, 1, greatest(size(_w) - 1, 0)), "
                "slice(_w, 2, greatest(size(_w) - 1, 0)), "
                "(a, b) -> concat(a, ' ', b))"),
     )
-    tok = d.select(id_col, F.explode_outer("_w").alias("tok"))
-    wc = tok.groupBy(id_col, "tok").agg(F.count("tok").alias("cnt"))
-    words = wc.groupBy(id_col).agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_words"),
-        F.count("tok").alias("n_distinct"),
-        F.min(
-            F.when(
-                F.col("tok").isNotNull(),
-                F.struct((-F.col("cnt")).alias("nc"), F.col("tok").alias("t")),
-            )
-        ).alias("_top"),
+    # one exploded stream of tagged tokens; explode_outer keeps zero-word
+    # docs as a single null row so they survive to the output
+    tagged = d.select(
+        id_col,
+        F.explode_outer(
+            F.expr("concat(transform(_w,  t -> struct(0 AS k, t AS v)), "
+                   "transform(_bg, t -> struct(1 AS k, t AS v)))")
+        ).alias("t"),
+    ).select(id_col, F.col("t.k").alias("k"), F.col("t.v").alias("tok"))
+    counts = tagged.groupBy(id_col, "k", "tok").agg(
+        F.count("tok").alias("cnt")
     )
-    bg = d.select(id_col, F.explode("_bg").alias("tok"))
-    bgc = bg.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
-    bigrams = bgc.groupBy(id_col).agg(
-        F.sum("cnt").alias("_n_bigrams"),
-        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("tok").alias("t")))
-        .alias("_btop"),
+    is_w = F.col("k") == 0
+    is_b = F.col("k") == 1
+    top_struct = F.struct((-F.col("cnt")).alias("nc"), F.col("tok").alias("t"))
+    out = counts.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.when(is_w, F.col("cnt"))), F.lit(0))
+        .alias("n_words"),
+        F.count(F.when(is_w, F.col("tok"))).alias("n_distinct"),
+        F.min(F.when(is_w, top_struct)).alias("_top"),
+        F.sum(F.when(is_b, F.col("cnt"))).alias("_n_bigrams"),
+        F.min(F.when(is_b, top_struct)).alias("_btop"),
     )
-    out = words.join(bigrams, id_col, "left")
     n_words = F.col("n_words")
     top_ratio = (-F.col("_top.nc")).cast("double") / n_words.cast("double")
     btop_ratio = (
