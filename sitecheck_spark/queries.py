@@ -37,8 +37,49 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Hash-spread key per table: a unique-ish id column, so the spread exchange
+# is deterministic HashPartitioning (no round-robin sort-before-repartition,
+# retry-safe per the RR/rand hazard in SPARK-38388).
+# The key doubles as the downstream join/window key where one dominates
+# (events -> user_id, orders/customer -> custkey): a later window/agg/join
+# partitioned on the same key then REUSES the spread exchange instead of
+# adding one (guide §2.4 "two operations keyed the same way share one
+# exchange").
+_SPREAD_KEYS = {
+    "documents": "doc_id", "embeddings": "vec_id", "events": "user_id",
+    "orders": "o_custkey", "customer": "c_custkey", "lineitem": "l_orderkey",
+    "part": "p_partkey", "supplier": "s_suppkey",
+}
+_SCAN_PARTS_CACHE: dict[str, int] = {}  # path -> scan split count (plan metadata)
+
+
+def _t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a benchmark table, restoring scan parallelism when the file
+    layout caps it (guide §2.5 "input skew": a single-row-group parquet
+    file cannot split, so every map-side stage — tokenize / hash / explode /
+    partial agg — serializes on one or two tasks while the rest of the
+    cluster idles). When the scan has fewer splits than half the cluster's
+    parallelism, hash-repartition on the table's id column; a real at-scale
+    table (thousands of splits) passes through untouched, so nothing is
+    ever shuffled at 100 TB. The split count is plan metadata (no job) and
+    is memoized per path — it cannot change within a session."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    n = _SCAN_PARTS_CACHE.get(path)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[path] = n
+    if n >= max(2, target // 2):
+        return df
+    key = _SPREAD_KEYS.get(name)
+    # tables without a spread key (nation/region) are broadcast-sized
+    # dimension tables — spreading them would only add a pointless exchange
+    return df.repartition(target, key) if key else df
 
 
 # ---------------------------------------------------------------------------
@@ -459,8 +500,8 @@ def q_broken_links(spark, sf_dir):
 def q_crawl_bfs(spark, sf_dir):
     """Mini BFS frontier expansion (the crawl loop shape) over a synthetic
     doc graph; iterative anti-join dedup exactly like crawl.py."""
-    docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
+    docs = _t_raw(spark, sf_dir, "documents")
+    n = _t_raw(spark, sf_dir, "documents").count()
     edges = docs.select(
         F.col("doc_id").alias("src"), ((F.col("doc_id") * 2 + 1) % n).alias("dst")
     ).unionByName(
@@ -523,8 +564,8 @@ def q_pagerank(spark, sf_dir):
     across engines — no float-sum ordering hazard."""
     from sitecheck_spark.operators.graph import pagerank
 
-    docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
+    docs = _t_raw(spark, sf_dir, "documents")
+    n = _t_raw(spark, sf_dir, "documents").count()
     nodes = docs.select(F.col("doc_id").alias("node"))
     edges = docs.select(
         F.col("doc_id").alias("src"), ((F.col("doc_id") * 2 + 1) % n).alias("dst")
@@ -569,8 +610,8 @@ def q_connected_components(spark, sf_dir):
     labels make the two bit-comparable."""
     from sitecheck_spark.operators.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
+    docs = _t_raw(spark, sf_dir, "documents")
+    n = _t_raw(spark, sf_dir, "documents").count()
     nodes = docs.select(F.col("doc_id").alias("node"))
     chain = docs.select(
         F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
@@ -640,8 +681,8 @@ def q_redirect_chains(spark, sf_dir):
     """Redirect-chain resolution (crawl.resolve_redirect_chains) over a
     synthetic functional edge table: every 5th doc redirects to
     (id*7+3) mod n. Hop cap 4; capped chains (incl. cycles) flagged."""
-    docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
+    docs = _t_raw(spark, sf_dir, "documents")
+    n = _t_raw(spark, sf_dir, "documents").count()
     edges = docs.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("src"),
         ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
@@ -1108,7 +1149,7 @@ def q_dedup_jaccard(spark, sf_dir):
     docs while staying adaptive at test scale. Jaccard is then computed
     over the pruned token space (oracle applies the identical rule)."""
     docs = _t(spark, sf_dir, "documents")
-    k = min(1000, docs.count() // 2)
+    k = min(1000, _t_raw(spark, sf_dir, "documents").count() // 2)
     return dedup.jaccard_pairs(docs, threshold=0.5, max_token_freq=k)
 
 
