@@ -34,6 +34,49 @@ from pyspark.sql import functions as F
 
 R0 = 10**12  # fixed-point unit: rank 1.0 == 10^12
 
+# Per-round shuffle sizing for the iterative operators: label/rank state is
+# ~24 B per node, so the session's shuffle.partitions (sized for the big
+# corpus-scale shuffles) over-partitions these rounds by orders of magnitude
+# — at 5*10^4 nodes each of the ~13 stages per materialization job degrades
+# into 64 near-empty tasks whose scheduling barriers dominate wall time
+# (measured 9.2 s -> 2.3 s at sf1.0 for connected_components). Derive the
+# round partition count from the graph size instead: one partition per
+# _ROUND_ROWS_PER_PARTITION nodes (≈ join CPU of ~0.25 s/task), floored at 8
+# so small graphs keep some parallelism and CAPPED at the session setting so
+# a 10^10-node graph still uses the full cluster-sized partitioning.
+_ROUND_ROWS_PER_PARTITION = 250_000
+
+
+def _round_partitions(spark, n_nodes: int) -> int:
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return min(conf, max(-(-n_nodes // _ROUND_ROWS_PER_PARTITION), min(8, conf)))
+
+
+class _round_conf:
+    """Temporarily scope spark.sql.shuffle.partitions to the derived round
+    size (no-op when n_nodes is unknown or the derived value is the session
+    value). Physical-plan only — results are partitioning-independent."""
+
+    def __init__(self, spark, n_nodes: int | None):
+        self.spark = spark
+        self.n = n_nodes
+
+    def __enter__(self):
+        self.prev = None
+        if self.n is None:
+            return self
+        parts = _round_partitions(self.spark, self.n)
+        prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        if parts != int(prev):
+            self.prev = prev
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
 
 def pagerank(
     nodes: DataFrame, edges: DataFrame, iterations: int = 5,
@@ -111,7 +154,7 @@ def _release_leaf(df: DataFrame) -> None:
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = 40,
     checkpoint_every: int = 2, check_every: int = 2,
-    edges_unique: bool = False,
+    edges_unique: bool = False, n_nodes: int | None = None,
 ) -> DataFrame:
     """(node, component) — component = the MINIMUM node id reachable from
     `node` over the undirected closure of `edges`. Web-graph companion to
@@ -161,78 +204,85 @@ def connected_components(
     the block manager holds one label-table checkpoint at a time.
     Raises if `max_rounds` passes without reaching the fixpoint (the loud
     option: a silent partial labeling corrupts downstream grouping).
+    `n_nodes` (optional size hint, the similarity-tier `n_vectors` pattern):
+    scopes the per-round shuffle partition count to the graph size — see
+    _round_partitions; None keeps the session partitioning untouched.
     """
-    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).where(
-        F.col("a") != F.col("b")
-    )
-    sym = sym.unionByName(
-        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    if not edges_unique:
-        sym = sym.distinct()
-    sym = sym.persist()
-    lbl = nodes.select("node", F.col("node").alias("lbl")).persist()
-    prev_sum = None
-    persisted = [lbl]   # plain persisted leaves not yet superseded
-    checkpoints = []    # localCheckpoint leaves (newest may be unmaterialized)
-    try:
-        for r in range(max_rounds):
-            prop = (
-                sym.join(lbl.select(F.col("node").alias("b"), "lbl"), "b")
-                .groupBy(F.col("a").alias("node"))
-                .agg(F.min("lbl").alias("nbr_lbl"))
-            )
-            stepped = lbl.join(prop, "node", "left").select(
-                "node",
-                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-            )
-            # pointer jump: lbl <- lbl(lbl). Labels always name nodes in the
-            # same component, and lbl(x) <= x, so the chase only descends.
-            jumped = stepped.join(
-                stepped.select(
-                    F.col("node").alias("jnode"), F.col("lbl").alias("jlbl")
-                ),
-                F.col("lbl") == F.col("jnode"),
-                "left",
-            ).select("node", F.coalesce("jlbl", "lbl").alias("lbl"))
-            if checkpoint_every and (r + 1) % checkpoint_every == 0:
-                # non-eager: the next convergence check materializes (and
-                # truncates lineage) as part of its own job — no extra job
-                # just to checkpoint, unlike eager=True.
-                jumped = jumped.localCheckpoint(eager=False)
-                checkpoints.append(jumped)
-            else:
-                jumped = jumped.persist()
-                persisted.append(jumped)
-            lbl = jumped
-            if (r + 1) % check_every and r + 1 < max_rounds:
-                continue  # odd round: chain lazily, no driver round-trip
-            cur_sum = lbl.agg(
-                F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
-            # lbl just materialized: every OLDER plain leaf is dead weight
-            # (MEMORY_AND_DISK spills rather than evicts, so lbl's cached
-            # copy never needs to recompute through them in local mode, and
-            # the newest checkpoint covers the recompute path regardless).
-            for h in persisted:
-                if h is not lbl:
-                    _release_leaf(h)
-            # identity check — DataFrame.__eq__ builds a Column, never use `in`
-            persisted = [lbl] if any(h is lbl for h in persisted) else []
-            # the newest checkpoint is an ancestor of (or is) lbl, hence
-            # materialized by the sum above; all older ones are superseded.
-            for h in checkpoints[:-1]:
-                _release_leaf(h)
-            checkpoints = checkpoints[-1:]
-            if cur_sum == prev_sum:
-                # materialize before the finally-block releases the chain
-                return lbl.select(
-                    "node", F.col("lbl").alias("component")
-                ).localCheckpoint(eager=True)
-            prev_sum = cur_sum
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds"
+    # All of this operator's actions (convergence sums, checkpoints, the
+    # final eager materialization) run inside the function, so the round
+    # partition scope below governs every exchange it plans.
+    with _round_conf(nodes.sparkSession, n_nodes):
+        sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).where(
+            F.col("a") != F.col("b")
         )
-    finally:
-        for h in persisted + checkpoints + [sym]:
-            _release_leaf(h)
+        sym = sym.unionByName(
+            sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        if not edges_unique:
+            sym = sym.distinct()
+        sym = sym.persist()
+        lbl = nodes.select("node", F.col("node").alias("lbl")).persist()
+        prev_sum = None
+        persisted = [lbl]   # plain persisted leaves not yet superseded
+        checkpoints = []    # localCheckpoint leaves (newest may be unmaterialized)
+        try:
+            for r in range(max_rounds):
+                prop = (
+                    sym.join(lbl.select(F.col("node").alias("b"), "lbl"), "b")
+                    .groupBy(F.col("a").alias("node"))
+                    .agg(F.min("lbl").alias("nbr_lbl"))
+                )
+                stepped = lbl.join(prop, "node", "left").select(
+                    "node",
+                    F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                )
+                # pointer jump: lbl <- lbl(lbl). Labels always name nodes in the
+                # same component, and lbl(x) <= x, so the chase only descends.
+                jumped = stepped.join(
+                    stepped.select(
+                        F.col("node").alias("jnode"), F.col("lbl").alias("jlbl")
+                    ),
+                    F.col("lbl") == F.col("jnode"),
+                    "left",
+                ).select("node", F.coalesce("jlbl", "lbl").alias("lbl"))
+                if checkpoint_every and (r + 1) % checkpoint_every == 0:
+                    # non-eager: the next convergence check materializes (and
+                    # truncates lineage) as part of its own job — no extra job
+                    # just to checkpoint, unlike eager=True.
+                    jumped = jumped.localCheckpoint(eager=False)
+                    checkpoints.append(jumped)
+                else:
+                    jumped = jumped.persist()
+                    persisted.append(jumped)
+                lbl = jumped
+                if (r + 1) % check_every and r + 1 < max_rounds:
+                    continue  # odd round: chain lazily, no driver round-trip
+                cur_sum = lbl.agg(
+                    F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+                ).collect()[0]["s"]
+                # lbl just materialized: every OLDER plain leaf is dead weight
+                # (MEMORY_AND_DISK spills rather than evicts, so lbl's cached
+                # copy never needs to recompute through them in local mode, and
+                # the newest checkpoint covers the recompute path regardless).
+                for h in persisted:
+                    if h is not lbl:
+                        _release_leaf(h)
+                # identity check — DataFrame.__eq__ builds a Column, never use `in`
+                persisted = [lbl] if any(h is lbl for h in persisted) else []
+                # the newest checkpoint is an ancestor of (or is) lbl, hence
+                # materialized by the sum above; all older ones are superseded.
+                for h in checkpoints[:-1]:
+                    _release_leaf(h)
+                checkpoints = checkpoints[-1:]
+                if cur_sum == prev_sum:
+                    # materialize before the finally-block releases the chain
+                    return lbl.select(
+                        "node", F.col("lbl").alias("component")
+                    ).localCheckpoint(eager=True)
+                prev_sum = cur_sum
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds"
+            )
+        finally:
+            for h in persisted + checkpoints + [sym]:
+                _release_leaf(h)

@@ -622,7 +622,7 @@ def q_connected_components(spark, sf_dir):
     # chain ∪ bridge is duplicate-free by construction: dst-src is 1 vs 16,
     # and all edges have dst > src so symmetrization cannot collide either
     return connected_components(
-        nodes, chain.unionByName(bridge), edges_unique=True
+        nodes, chain.unionByName(bridge), edges_unique=True, n_nodes=n
     )
 
 
