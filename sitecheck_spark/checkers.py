@@ -197,11 +197,22 @@ def check_metadata(parsed: DataFrame) -> DataFrame:
 SPELL_TOKEN_MODULE = "_spell_token"  # in-band token rows, never a finding
 
 
-def _checker_structs(emit_tokens: bool = False):
+def _checker_structs(emit_tokens: bool = False,
+                     known_words: list[str] | None = None):
     """The C2+C3+C5 per-row findings as ONE array-of-struct(module, detail)
     column expression (+ the distinct spelling-candidate tokens when
     emit_tokens). Shared by findings_pass and the crawl's wave-level fused
-    findings builder."""
+    findings builder.
+
+    known_words: when given (the dictionary, collected — it is broadcast-
+    small by construction, SURVEY.md §2.3 J3), the dictionary subtraction
+    happens HERE at the array level (array_except against the literal word
+    set, a per-row hash lookup) instead of downstream via an anti-join over
+    exploded token rows. Only the few UNKNOWN tokens per page ever become
+    rows — at the bench crawl that is ~2 rows/page instead of ~300, i.e.
+    the fused findings cache and the anti-join's input shrink ~100x. Same
+    set by construction: array_except(filter(tokens, len>=3), dict) ==
+    distinct tokens len>=3 minus dict (pytest-pinned vs check_spelling)."""
     regex_arr = F.transform(
         F.coalesce(
             F.regexp_extract_all("extracted_text", F.lit(EMAIL_SQL), F.lit(0)),
@@ -230,15 +241,23 @@ def _checker_structs(emit_tokens: bool = False):
     )
     arr = F.concat(regex_arr, comment_arr, meta_arr)
     if emit_tokens:
-        token_arr = F.transform(
-            F.filter(
-                F.array_distinct(
-                    F.regexp_extract_all(
-                        F.lower("extracted_text"), F.lit(TOKEN_SQL), F.lit(0)
-                    )
-                ),
-                lambda t: F.length(t) >= 3,
+        candidates = F.filter(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower("extracted_text"), F.lit(TOKEN_SQL), F.lit(0)
+                )
             ),
+            lambda t: F.length(t) >= 3,
+        )
+        if known_words is not None:
+            # array_except is distinct-by-definition, so the inner
+            # array_distinct above is redundant on this path but kept for
+            # expression-shape parity with the anti-join path
+            candidates = F.array_except(
+                candidates, F.array(*[F.lit(w) for w in known_words])
+            )
+        token_arr = F.transform(
+            candidates,
             lambda t: F.struct(
                 F.lit(SPELL_TOKEN_MODULE).alias("module"), t.alias("detail")
             ),
@@ -284,7 +303,7 @@ def findings_pass(parsed: DataFrame, emit_tokens: bool = False) -> DataFrame:
 
 def wave_findings_pass(
     parsed: DataFrame, max_redirects: int,
-    dictionary: DataFrame | None = None, checkers: bool = True,
+    dictionary: DataFrame | list[str] | None = None, checkers: bool = True,
 ) -> tuple[DataFrame, DataFrame | None]:
     """ALL of a crawl wave's per-page findings from ONE scan of the parsed
     table: broken_link (status=404 rows), over-cap redirect chains, and —
@@ -299,8 +318,24 @@ def wave_findings_pass(
     pruning, so the previous three-branch findings job (404 filter +
     redirect filter + fused checker scan) read 3x the cache per wave —
     45 GB/run and 1.42x 4N inflation in the round-5 pair-0 stage tables.
-    Row-for-row equal to the separate builders' union (pytest + golden)."""
+    Row-for-row equal to the separate builders' union (pytest + golden).
+
+    The dictionary (DataFrame or pre-collected word list) is folded into
+    the fused scan as an array_except literal (_checker_structs), so only
+    UNKNOWN tokens become rows — the r6 shape exploded ~300 token rows per
+    page into the fused cache and anti-joined them all (the dominant CPU
+    of the r7 profile's ckpt_findings stage group, 240 s CPU/run at the
+    120k-page bench); now ~2 rows/page survive and no anti-join runs.
+    Collecting the dictionary is the same smallness assumption its
+    broadcast already made."""
     emit_tokens = checkers and dictionary is not None
+    dict_words: list[str] | None = None
+    if emit_tokens:
+        if isinstance(dictionary, (list, tuple)):
+            dict_words = sorted(set(dictionary))
+        else:
+            dict_words = sorted({r["word"] for r in
+                                 dictionary.select("word").collect()})
     broken = F.array_compact(F.array(
         F.when(
             F.col("status") == 404,
@@ -326,7 +361,7 @@ def wave_findings_pass(
         # parse fields
         chk = F.transform(
             F.filter(
-                _checker_structs(emit_tokens),
+                _checker_structs(emit_tokens, known_words=dict_words),
                 lambda _s: F.col("status") == 200,
             ),
             lambda s: F.struct(s["module"].alias("module"),
@@ -353,10 +388,11 @@ def wave_findings_pass(
         "module", "url", "wave", "detail", "referrer"
     )
     join_keys = [c for c in req]
-    tokens = fused.filter(F.col("module") == SPELL_TOKEN_MODULE).select(
+    # token rows are already dictionary-subtracted (array_except above) —
+    # they ARE the unknown words, no anti-join needed
+    unknown = fused.filter(F.col("module") == SPELL_TOKEN_MODULE).select(
         *join_keys, F.col("detail").alias("word")
     )
-    unknown = tokens.join(F.broadcast(dictionary), "word", "left_anti")
     text = parsed.select(*join_keys, F.lower("extracted_text").alias("_lt"))
     pos = F.expr("locate(word, _lt)")
     ctx = F.substring(

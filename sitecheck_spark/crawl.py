@@ -152,6 +152,7 @@ class CrawlResult:
 FINDINGS_SCHEMA = "module string, url string, wave int, detail string, referrer string"
 _EXT_PATTERN = "(?i)(?:" + "|".join(re.escape(e) for e in IGNORED_EXTENSIONS) + ")$"
 _ISIN_MAX_NETLOCS = 64  # above this, the allow-list joins instead of inlining
+_WAVE_ROWS_PER_PARTITION = 12_500  # frontier rows per wave-scoped shuffle partition
 
 
 def latest_pages(pages: DataFrame) -> DataFrame:
@@ -490,6 +491,14 @@ def crawl(
             .persist()
         )
 
+    # Collect the spelling dictionary ONCE for all waves: checkers fold it
+    # into the fused findings scan as an array_except literal (checkers.py
+    # _checker_structs) — same smallness assumption its broadcast made.
+    dict_words = None
+    if dictionary is not None and cfg.run_checkers:
+        dict_words = sorted({r["word"] for r in
+                             dictionary.select("word").collect()})
+
     frontier_cols = ["url", "netloc", "depth", "priority", "referrer",
                      "redirects", "verb", "post_data"]
     seeds_df = spark.createDataFrame(
@@ -597,340 +606,358 @@ def crawl(
 
     n_frontier = frontier.count()
     end_wave = wave
-    while n_frontier > 0 and wave < cfg.max_waves:
-        t_wave = time.time()
-        prev_frontier, prev_shards = frontier, shards
-        wave_logs: list[DataFrame] = []
-        wave_findings: list[DataFrame] = list(pending_findings)
-        pending_findings = []
-        # Persist both election outputs: they feed several downstream jobs
-        # (broadcast of elected urls, the fetch join, the 404 split, next
-        # frontier) which would otherwise each recompute the window chain —
-        # the profiler showed half the wave's CPU inside broadcast-exchange
-        # recomputations before this.
-        elected, remainder = _elect(frontier, budgets, cfg, comp_map)
-        elected = elected.persist()
-        remainder = remainder.persist()
+    _sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        while n_frontier > 0 and wave < cfg.max_waves:
+            t_wave = time.time()
+            # Scope this wave's shuffles to the frontier volume: a wave's
+            # exchanges move slim ~150 B frontier/candidate rows (the html
+            # shuffle is separately sized by n_parse below), and planning
+            # them at the session's corpus-scale width degrades the ~30
+            # stages per wave into near-empty tasks whose scheduling
+            # barriers dominate (functions/tuning.py; measured ~54 -> ~47 s
+            # on the 120k-page bench crawl). Floor 8, capped at the session
+            # value so a 10^7-row frontier keeps full-width partitioning.
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(_sess_parts,
+                        max(-(-n_frontier // _WAVE_ROWS_PER_PARTITION),
+                            min(8, _sess_parts)))),
+            )
+            prev_frontier, prev_shards = frontier, shards
+            wave_logs: list[DataFrame] = []
+            wave_findings: list[DataFrame] = list(pending_findings)
+            pending_findings = []
+            # Persist both election outputs: they feed several downstream jobs
+            # (broadcast of elected urls, the fetch join, the 404 split, next
+            # frontier) which would otherwise each recompute the window chain —
+            # the profiler showed half the wave's CPU inside broadcast-exchange
+            # recomputations before this.
+            elected, remainder = _elect(frontier, budgets, cfg, comp_map)
+            elected = elected.persist()
+            remainder = remainder.persist()
 
-        elected_urls = elected.select("url")
-        fetch_keys = ["url"]
-        if bucketed_fetch:
-            elected_urls = elected_urls.withColumn(
-                catalog_mod.PAGES_BUCKET_COL,
-                catalog_mod.bucket_of(F.col("url"), cfg.pages_buckets),
-            )
-            fetch_keys = [catalog_mod.PAGES_BUCKET_COL, "url"]
-        # Parse parallelism ∝ cores, not bytes: AQE's byte-based coalescing
-        # would starve the CPU-bound parse stage. Decided BEFORE the fetch
-        # join so the html shuffle lands directly in n_parse partitions.
-        n_parse = cfg.parse_partitions or max(
-            2 * spark.sparkContext.defaultParallelism,
-            -(-n_frontier // cfg.parse_rows_per_partition),  # ceil div
-        )
-        # html crosses EXACTLY ONE shuffle per wave in BOTH fetch modes
-        # (plan-asserted in tests/test_plans.py, incl. the max_by partial
-        # buffer that smuggles html under a fresh attribute name):
-        # - broadcast fetch: the join is exchange-free; one explicit
-        #   repartition(n_parse, url) feeds the version-dedup agg, which
-        #   reuses that partitioning (no second exchange).
-        # - shuffle fetch (bucketed layout): the join's own Ensure-exchange
-        #   of the pages side IS the html shuffle. Pre-partitioning the slim
-        #   elected side on the join keys into n_parse makes that exchange
-        #   land directly in n_parse partitions, and aggregating on the SAME
-        #   keys (url_bucket is a function of url, so groupBy(bucket, url)
-        #   == groupBy(url)) reuses the join partitioning — aggregating on
-        #   url alone would re-exchange the max_by buffer (= html bytes).
-        # Downstream, the elected-side left join uses the agg's keys too, so
-        # only slim frontier columns shuffle and the parse pass inherits the
-        # n_parse partitions unchanged.
-        if cfg.pages_prebucketed:
-            # bucketed-table fetch: the pages scan reports
-            # HashPartitioning(url, n_buckets), so EnsureRequirements
-            # shuffles ONLY the slim elected side into the buckets; the
-            # dedup agg below groups on the same key and reuses the join
-            # partitioning — html never crosses an exchange (plan-asserted
-            # with a zero count in tests/test_plans.py).
-            matched = pages_slim.join(elected_urls, fetch_keys)
-            agg_in = matched
-            agg_keys = ["url"]
-        elif cfg.broadcast_fetch:
-            matched = pages_slim.join(F.broadcast(elected_urls), fetch_keys)
-            agg_in = matched.repartition(n_parse, "url")
-            agg_keys = ["url"]
-        else:
-            matched = pages_slim.join(
-                elected_urls.repartition(n_parse, *fetch_keys), fetch_keys
-            )
-            agg_in = matched
-            agg_keys = fetch_keys
-        latest_rows = agg_in.groupBy(*agg_keys).agg(
-            # total tie-break on (warc_ts, md5(html)) — see latest_pages()
-            F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")
-        )
-        # One corpus scan+join per wave, consumed EXACTLY ONCE by the parse
-        # pass: fetch misses flow through as status=404 rows (null-html fast
-        # path inside parse_pages_batch), so the html-carrying join output is
-        # never persisted — only the slim parsed table is. Caching the join
-        # output instead (round <= 4) meant every downstream `html IS NULL`
-        # filter re-read the cached html column batches: ~15 GB/run of the
-        # fetch-log job's input in the round-4 scaling stage tables was
-        # exactly that traffic.
-        if agg_keys == ["url"]:
-            fetched = elected.join(latest_rows, "url", "left")
-        else:
-            fetched = (
-                elected.withColumn(
+            elected_urls = elected.select("url")
+            fetch_keys = ["url"]
+            if bucketed_fetch:
+                elected_urls = elected_urls.withColumn(
                     catalog_mod.PAGES_BUCKET_COL,
                     catalog_mod.bucket_of(F.col("url"), cfg.pages_buckets),
                 )
-                .join(latest_rows, agg_keys, "left")
-                .drop(catalog_mod.PAGES_BUCKET_COL)
+                fetch_keys = [catalog_mod.PAGES_BUCKET_COL, "url"]
+            # Parse parallelism ∝ cores, not bytes: AQE's byte-based coalescing
+            # would starve the CPU-bound parse stage. Decided BEFORE the fetch
+            # join so the html shuffle lands directly in n_parse partitions.
+            n_parse = cfg.parse_partitions or max(
+                2 * spark.sparkContext.defaultParallelism,
+                -(-n_frontier // cfg.parse_rows_per_partition),  # ceil div
             )
-        parsed = (
-            fetched.select("url", "netloc", F.lit(wave).alias("wave"), "depth",
-                           "priority", "referrer", "redirects", "verb",
-                           "post_data", "html")
-            .mapInPandas(parse_pages_batch, PARSED_SCHEMA)
-        ).persist()
-        ok = parsed.filter(F.col("status") == 200)
-
-        wave_logs.append(
-            parsed.select(
-                "url", "netloc", "wave", "depth", "priority", "referrer",
-                "verb", "post_data", "status", "content_len", "n_links",
-            )
-        )
-        # ALL per-page findings — broken_link + redirect cap + checkers —
-        # from ONE scan of the parsed cache (every separate filter branch
-        # would fetch the full cached batches again; robots findings join
-        # the gated frontier below instead)
-        page_findings, checker_handle = wave_findings_pass(
-            parsed, cfg.max_redirects,
-            dictionary if cfg.run_checkers else None,
-            checkers=cfg.run_checkers,
-        )
-        wave_findings.append(page_findings)
-
-        # Candidate edges: outlinks (depth+1, fresh redirect counter) plus
-        # meta-refresh redirect targets (same depth, hop counter +1 along the
-        # chain — the reference's Request carries a redirect count with a
-        # cap; over-cap chains are findings, not candidates).
-        out_cand = (
-            ok.filter(F.col("depth") + 1 <= cfg.max_depth)
-            .select(
-                F.explode("outlinks").alias("url"),
-                F.col("url").alias("referrer"),
-                (F.col("depth") + 1).alias("depth"),
-                F.lit(0).alias("redirects"),
-                F.lit("GET").alias("verb"),
-                F.lit("").alias("post_data"),
-            )
-        )
-        # method=post forms become POST requests (CONTRACT v3): identity is
-        # (verb, url, post_data), so a POSTed url is crawled independently
-        # of its GET twin
-        form_cand = (
-            ok.filter(
-                (F.size("post_forms") > 0) & (F.col("depth") + 1 <= cfg.max_depth)
-            )
-            .select(
-                F.col("url").alias("referrer"),
-                (F.col("depth") + 1).alias("depth"),
-                F.explode("post_forms").alias("f"),
-            )
-            .select(
-                F.col("f.url").alias("url"), "referrer", "depth",
-                F.lit(0).alias("redirects"),
-                F.lit("POST").alias("verb"),
-                F.col("f.data").alias("post_data"),
-            )
-        )
-        has_redirect = ok.filter(F.col("redirect").isNotNull())
-        red_cand = (
-            has_redirect.filter(F.col("redirects") + 1 <= cfg.max_redirects)
-            .select(
-                F.col("redirect").alias("url"),
-                F.col("url").alias("referrer"),
-                F.col("depth").alias("depth"),
-                (F.col("redirects") + 1).alias("redirects"),
-                F.lit("GET").alias("verb"),
-                F.lit("").alias("post_data"),
-            )
-        )
-        cand = (
-            out_cand.unionByName(red_cand).unionByName(form_cand)
-            .withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("")))
-            .filter(~F.lower("path").rlike(_EXT_PATTERN))
-            .withColumn("netloc", F.parse_url("url", F.lit("HOST")))
-        )
-        cand = (
-            cand.join(allowed_df, "netloc", "left_semi")
-            if allowed_df is not None
-            else cand.filter(F.col("netloc").isin(allowed))
-        )
-        cand = (
-            # dedup by request IDENTITY (verb, url, post_data) — contract v3
-            cand.groupBy("url", "netloc", "verb", "post_data")
-            .agg(F.min(F.struct("depth", "referrer", "redirects")).alias("m"))
-            .select(
-                "url", "netloc", "verb", "post_data",
-                F.col("m.depth").alias("depth"),
-                F.col("m.depth").cast("double").alias("priority"),
-                F.col("m.referrer").alias("referrer"),
-                F.col("m.redirects").alias("redirects"),
-            )
-        )
-        cand = _with_identity(cand, cfg.n_shards)
-
-        fused_handle = None
-        if cfg.use_bloom and shards is not None:
-            new, new_shards, fused_handle = _probe_and_absorb(cand, seen, shards, cfg)
-        else:
-            new = cand.join(
-                seen.select("verb", "url", "post_data"),
-                ["verb", "url", "post_data"], "left_anti",
-            )
-            new_shards = None
-
-        gated = _robots_gate(
-            new, rules, frontier_cols + ["url_hash", "shard"]
-        ).persist()
-        wave_findings.append(
-            gated.filter(~F.col("robots_allowed")).select(
-                F.lit("robots").alias("module"), "url", F.lit(wave).alias("wave"),
-                F.lit("robots_blocked").alias("detail"), "referrer",
-            )
-        )
-
-        # One job forces the whole heavy chain (elect -> fetch -> parse ->
-        # candidates -> probe -> gate) into the wave's caches...
-        # (callSite.short labels land in the UI stage names so the scaling
-        # telemetry (plans/stagemetrics.py) attributes task time to engine
-        # phases instead of merging everything under "count at <unknown>")
-        sc = spark.sparkContext
-        t0 = time.time()
-        if cfg.phase_labels:
-            # attribution mode: see CrawlConfig.phase_labels
-            sc.setLocalProperty("callSite.short", "wave_elect")
-            elected.count()
-            sc.setLocalProperty("callSite.short", "wave_fetch_parse")
-            parsed.count()
-            sc.setLocalProperty("callSite.short", "wave_probe_gate")
-        else:
-            sc.setLocalProperty("callSite.short", "wave_chain")
-        gated.count()
-        sc.setLocalProperty("callSite.short", None)
-        t_chain = time.time() - t0
-
-        # ...then the five independent state/delta materializations read
-        # those caches CONCURRENTLY. Sequentially they cost sum(latencies)
-        # of mostly-idle barrier time per wave; in parallel, max(latencies).
-        new_frontier_rows = gated.filter("robots_allowed").select(*frontier_cols)
-        frontier_next = remainder.select(*frontier_cols).unionByName(new_frontier_rows)
-        new_seen = gated.select("url", "verb", "post_data", "url_hash", "shard")
-        log_delta = _union_all(wave_logs, empty_log)
-        findings_delta = _union_all(wave_findings, empty_findings)
-        compact = force_seen_full or wave % cfg.seen_compact_every == 0
-
-        t0 = time.time()
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _ckpt(df, label):
-            # per-thread callSite label: pinned-thread mode (the PySpark
-            # default) maps each Python thread to its own JVM thread, so
-            # every concurrent state job's stages carry its table name
-            spark.sparkContext.setLocalProperty("callSite.short", label)
-            return df.localCheckpoint(eager=True)
-
-        with ThreadPoolExecutor(max_workers=5) as pool:
-            f_frontier = pool.submit(_ckpt, frontier_next, "ckpt_frontier")
-            # seen checkpoints as this wave's DELTA; the full union only on
-            # compaction waves (see seen_parts above)
-            f_seen = pool.submit(
-                _ckpt,
-                seen.unionByName(new_seen) if compact else new_seen,
-                "ckpt_seen_full" if compact else "ckpt_seen_delta",
-            )
-            f_shards = (
-                pool.submit(_ckpt, new_shards, "ckpt_shards")
-                if new_shards is not None else None
-            )
-            f_log = pool.submit(_ckpt, log_delta, "ckpt_fetch_log")
-            f_findings = pool.submit(_ckpt, findings_delta, "ckpt_findings")
-            frontier = f_frontier.result()
-            if compact:
-                seen = f_seen.result()
-                for part in seen_parts:  # superseded by the collapsed union
-                    part.unpersist()
-                seen_parts = [seen]
+            # html crosses EXACTLY ONE shuffle per wave in BOTH fetch modes
+            # (plan-asserted in tests/test_plans.py, incl. the max_by partial
+            # buffer that smuggles html under a fresh attribute name):
+            # - broadcast fetch: the join is exchange-free; one explicit
+            #   repartition(n_parse, url) feeds the version-dedup agg, which
+            #   reuses that partitioning (no second exchange).
+            # - shuffle fetch (bucketed layout): the join's own Ensure-exchange
+            #   of the pages side IS the html shuffle. Pre-partitioning the slim
+            #   elected side on the join keys into n_parse makes that exchange
+            #   land directly in n_parse partitions, and aggregating on the SAME
+            #   keys (url_bucket is a function of url, so groupBy(bucket, url)
+            #   == groupBy(url)) reuses the join partitioning — aggregating on
+            #   url alone would re-exchange the max_by buffer (= html bytes).
+            # Downstream, the elected-side left join uses the agg's keys too, so
+            # only slim frontier columns shuffle and the parse pass inherits the
+            # n_parse partitions unchanged.
+            if cfg.pages_prebucketed:
+                # bucketed-table fetch: the pages scan reports
+                # HashPartitioning(url, n_buckets), so EnsureRequirements
+                # shuffles ONLY the slim elected side into the buckets; the
+                # dedup agg below groups on the same key and reuses the join
+                # partitioning — html never crosses an exchange (plan-asserted
+                # with a zero count in tests/test_plans.py).
+                matched = pages_slim.join(elected_urls, fetch_keys)
+                agg_in = matched
+                agg_keys = ["url"]
+            elif cfg.broadcast_fetch:
+                matched = pages_slim.join(F.broadcast(elected_urls), fetch_keys)
+                agg_in = matched.repartition(n_parse, "url")
+                agg_keys = ["url"]
             else:
-                delta_ck = f_seen.result()
-                seen_parts.append(delta_ck)
-                seen = seen.unionByName(delta_ck)
-            log_delta = f_log.result()
-            findings_delta = f_findings.result()
-            if f_shards is not None:
-                shards = f_shards.result()
-            elif cfg.use_bloom:
-                shards = _merge_shards(spark, new_seen, shards, cfg)
-        t_state = time.time() - t0
+                matched = pages_slim.join(
+                    elected_urls.repartition(n_parse, *fetch_keys), fetch_keys
+                )
+                agg_in = matched
+                agg_keys = fetch_keys
+            latest_rows = agg_in.groupBy(*agg_keys).agg(
+                # total tie-break on (warc_ts, md5(html)) — see latest_pages()
+                F.max_by("html", F.struct("warc_ts", F.md5("html"))).alias("html")
+            )
+            # One corpus scan+join per wave, consumed EXACTLY ONCE by the parse
+            # pass: fetch misses flow through as status=404 rows (null-html fast
+            # path inside parse_pages_batch), so the html-carrying join output is
+            # never persisted — only the slim parsed table is. Caching the join
+            # output instead (round <= 4) meant every downstream `html IS NULL`
+            # filter re-read the cached html column batches: ~15 GB/run of the
+            # fetch-log job's input in the round-4 scaling stage tables was
+            # exactly that traffic.
+            if agg_keys == ["url"]:
+                fetched = elected.join(latest_rows, "url", "left")
+            else:
+                fetched = (
+                    elected.withColumn(
+                        catalog_mod.PAGES_BUCKET_COL,
+                        catalog_mod.bucket_of(F.col("url"), cfg.pages_buckets),
+                    )
+                    .join(latest_rows, agg_keys, "left")
+                    .drop(catalog_mod.PAGES_BUCKET_COL)
+                )
+            parsed = (
+                fetched.select("url", "netloc", F.lit(wave).alias("wave"), "depth",
+                               "priority", "referrer", "redirects", "verb",
+                               "post_data", "html")
+                .mapInPandas(parse_pages_batch, PARSED_SCHEMA)
+            ).persist()
+            ok = parsed.filter(F.col("status") == 200)
 
-        fetch_logs.append(log_delta)
-        findings.append(findings_delta)
+            wave_logs.append(
+                parsed.select(
+                    "url", "netloc", "wave", "depth", "priority", "referrer",
+                    "verb", "post_data", "status", "content_len", "n_links",
+                )
+            )
+            # ALL per-page findings — broken_link + redirect cap + checkers —
+            # from ONE scan of the parsed cache (every separate filter branch
+            # would fetch the full cached batches again; robots findings join
+            # the gated frontier below instead)
+            page_findings, checker_handle = wave_findings_pass(
+                parsed, cfg.max_redirects, dict_words,
+                checkers=cfg.run_checkers,
+            )
+            wave_findings.append(page_findings)
 
-        t0 = time.time()
-        sc.setLocalProperty("callSite.short", "frontier_count")
-        n_frontier = frontier.count()
-        sc.setLocalProperty("callSite.short", None)
-        t_count = time.time() - t0
-        # Release superseded per-wave checkpoints: without this, a long crawl
-        # leaks one cached RDD per wave per state table and everything after
-        # it pays the GC/block-manager tax. (seen deltas are NOT superseded
-        # — they compose the live union until a compaction wave collapses
-        # them, handled above.)
-        prev_frontier.unpersist()
-        if prev_shards is not None and shards is not prev_shards:
-            prev_shards.unpersist()
-        wave_metrics = {"wave": wave, "n_frontier_next": n_frontier}
-        metrics.append(wave_metrics)
+            # Candidate edges: outlinks (depth+1, fresh redirect counter) plus
+            # meta-refresh redirect targets (same depth, hop counter +1 along the
+            # chain — the reference's Request carries a redirect count with a
+            # cap; over-cap chains are findings, not candidates).
+            out_cand = (
+                ok.filter(F.col("depth") + 1 <= cfg.max_depth)
+                .select(
+                    F.explode("outlinks").alias("url"),
+                    F.col("url").alias("referrer"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.lit(0).alias("redirects"),
+                    F.lit("GET").alias("verb"),
+                    F.lit("").alias("post_data"),
+                )
+            )
+            # method=post forms become POST requests (CONTRACT v3): identity is
+            # (verb, url, post_data), so a POSTed url is crawled independently
+            # of its GET twin
+            form_cand = (
+                ok.filter(
+                    (F.size("post_forms") > 0) & (F.col("depth") + 1 <= cfg.max_depth)
+                )
+                .select(
+                    F.col("url").alias("referrer"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.explode("post_forms").alias("f"),
+                )
+                .select(
+                    F.col("f.url").alias("url"), "referrer", "depth",
+                    F.lit(0).alias("redirects"),
+                    F.lit("POST").alias("verb"),
+                    F.col("f.data").alias("post_data"),
+                )
+            )
+            has_redirect = ok.filter(F.col("redirect").isNotNull())
+            red_cand = (
+                has_redirect.filter(F.col("redirects") + 1 <= cfg.max_redirects)
+                .select(
+                    F.col("redirect").alias("url"),
+                    F.col("url").alias("referrer"),
+                    F.col("depth").alias("depth"),
+                    (F.col("redirects") + 1).alias("redirects"),
+                    F.lit("GET").alias("verb"),
+                    F.lit("").alias("post_data"),
+                )
+            )
+            cand = (
+                out_cand.unionByName(red_cand).unionByName(form_cand)
+                .withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("")))
+                .filter(~F.lower("path").rlike(_EXT_PATTERN))
+                .withColumn("netloc", F.parse_url("url", F.lit("HOST")))
+            )
+            cand = (
+                cand.join(allowed_df, "netloc", "left_semi")
+                if allowed_df is not None
+                else cand.filter(F.col("netloc").isin(allowed))
+            )
+            cand = (
+                # dedup by request IDENTITY (verb, url, post_data) — contract v3
+                cand.groupBy("url", "netloc", "verb", "post_data")
+                .agg(F.min(F.struct("depth", "referrer", "redirects")).alias("m"))
+                .select(
+                    "url", "netloc", "verb", "post_data",
+                    F.col("m.depth").alias("depth"),
+                    F.col("m.depth").cast("double").alias("priority"),
+                    F.col("m.referrer").alias("referrer"),
+                    F.col("m.redirects").alias("redirects"),
+                )
+            )
+            cand = _with_identity(cand, cfg.n_shards)
 
-        if catalog is not None:
-            # seen commits as this wave's DELTA (new_seen), with a full
-            # compaction snapshot every seen_compact_every waves (same
-            # cadence as the in-memory collapse above); frontier and shards
-            # stay full-state (frontier is the small active set, shards a
-            # fixed count of fixed-size filters). Wave 0 lands on the
-            # compaction branch, so a delta chain always has a base.
-            state = {"frontier": frontier, "seen": seen if compact else new_seen}
-            if shards is not None:
-                state["shards"] = shards
-            catalog.commit_wave(
-                wave, state,
-                {"fetch_log": log_delta, "findings": findings_delta},
-                metrics=wave_metrics,
-                config={"budget_per_host": cfg.budget_per_host,
-                        "max_depth": cfg.max_depth, "seeds": seed_canon,
-                        "n_shards": cfg.n_shards,
-                        "filter_kind": cfg.filter_kind},
-                state_kinds={"seen": "full" if compact else "delta"},
+            fused_handle = None
+            if cfg.use_bloom and shards is not None:
+                new, new_shards, fused_handle = _probe_and_absorb(cand, seen, shards, cfg)
+            else:
+                new = cand.join(
+                    seen.select("verb", "url", "post_data"),
+                    ["verb", "url", "post_data"], "left_anti",
+                )
+                new_shards = None
+
+            gated = _robots_gate(
+                new, rules, frontier_cols + ["url_hash", "shard"]
+            ).persist()
+            wave_findings.append(
+                gated.filter(~F.col("robots_allowed")).select(
+                    F.lit("robots").alias("module"), "url", F.lit(wave).alias("wave"),
+                    F.lit("robots_blocked").alias("detail"), "referrer",
+                )
             )
 
-        elected.unpersist()
-        remainder.unpersist()
-        parsed.unpersist()
-        gated.unpersist()
-        if fused_handle is not None:
-            fused_handle.unpersist()
-        if checker_handle is not None:
-            checker_handle.unpersist()
-        if cfg.verbose:
-            print(f"[crawl] wave={wave} next_frontier={n_frontier} "
-                  f"wall={time.time()-t_wave:.2f}s "
-                  f"(chain={t_chain:.1f} state={t_state:.1f} "
-                  f"count={t_count:.1f})", flush=True)
-        force_seen_full = False  # migration snapshot committed (first wave)
-        end_wave = wave + 1
-        wave += 1
+            # One job forces the whole heavy chain (elect -> fetch -> parse ->
+            # candidates -> probe -> gate) into the wave's caches...
+            # (callSite.short labels land in the UI stage names so the scaling
+            # telemetry (plans/stagemetrics.py) attributes task time to engine
+            # phases instead of merging everything under "count at <unknown>")
+            sc = spark.sparkContext
+            t0 = time.time()
+            if cfg.phase_labels:
+                # attribution mode: see CrawlConfig.phase_labels
+                sc.setLocalProperty("callSite.short", "wave_elect")
+                elected.count()
+                sc.setLocalProperty("callSite.short", "wave_fetch_parse")
+                parsed.count()
+                sc.setLocalProperty("callSite.short", "wave_probe_gate")
+            else:
+                sc.setLocalProperty("callSite.short", "wave_chain")
+            gated.count()
+            sc.setLocalProperty("callSite.short", None)
+            t_chain = time.time() - t0
+
+            # ...then the five independent state/delta materializations read
+            # those caches CONCURRENTLY. Sequentially they cost sum(latencies)
+            # of mostly-idle barrier time per wave; in parallel, max(latencies).
+            new_frontier_rows = gated.filter("robots_allowed").select(*frontier_cols)
+            frontier_next = remainder.select(*frontier_cols).unionByName(new_frontier_rows)
+            new_seen = gated.select("url", "verb", "post_data", "url_hash", "shard")
+            log_delta = _union_all(wave_logs, empty_log)
+            findings_delta = _union_all(wave_findings, empty_findings)
+            compact = force_seen_full or wave % cfg.seen_compact_every == 0
+
+            t0 = time.time()
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _ckpt(df, label):
+                # per-thread callSite label: pinned-thread mode (the PySpark
+                # default) maps each Python thread to its own JVM thread, so
+                # every concurrent state job's stages carry its table name
+                spark.sparkContext.setLocalProperty("callSite.short", label)
+                return df.localCheckpoint(eager=True)
+
+            with ThreadPoolExecutor(max_workers=5) as pool:
+                f_frontier = pool.submit(_ckpt, frontier_next, "ckpt_frontier")
+                # seen checkpoints as this wave's DELTA; the full union only on
+                # compaction waves (see seen_parts above)
+                f_seen = pool.submit(
+                    _ckpt,
+                    seen.unionByName(new_seen) if compact else new_seen,
+                    "ckpt_seen_full" if compact else "ckpt_seen_delta",
+                )
+                f_shards = (
+                    pool.submit(_ckpt, new_shards, "ckpt_shards")
+                    if new_shards is not None else None
+                )
+                f_log = pool.submit(_ckpt, log_delta, "ckpt_fetch_log")
+                f_findings = pool.submit(_ckpt, findings_delta, "ckpt_findings")
+                frontier = f_frontier.result()
+                if compact:
+                    seen = f_seen.result()
+                    for part in seen_parts:  # superseded by the collapsed union
+                        part.unpersist()
+                    seen_parts = [seen]
+                else:
+                    delta_ck = f_seen.result()
+                    seen_parts.append(delta_ck)
+                    seen = seen.unionByName(delta_ck)
+                log_delta = f_log.result()
+                findings_delta = f_findings.result()
+                if f_shards is not None:
+                    shards = f_shards.result()
+                elif cfg.use_bloom:
+                    shards = _merge_shards(spark, new_seen, shards, cfg)
+            t_state = time.time() - t0
+
+            fetch_logs.append(log_delta)
+            findings.append(findings_delta)
+
+            t0 = time.time()
+            sc.setLocalProperty("callSite.short", "frontier_count")
+            n_frontier = frontier.count()
+            sc.setLocalProperty("callSite.short", None)
+            t_count = time.time() - t0
+            # Release superseded per-wave checkpoints: without this, a long crawl
+            # leaks one cached RDD per wave per state table and everything after
+            # it pays the GC/block-manager tax. (seen deltas are NOT superseded
+            # — they compose the live union until a compaction wave collapses
+            # them, handled above.)
+            prev_frontier.unpersist()
+            if prev_shards is not None and shards is not prev_shards:
+                prev_shards.unpersist()
+            wave_metrics = {"wave": wave, "n_frontier_next": n_frontier}
+            metrics.append(wave_metrics)
+
+            if catalog is not None:
+                # seen commits as this wave's DELTA (new_seen), with a full
+                # compaction snapshot every seen_compact_every waves (same
+                # cadence as the in-memory collapse above); frontier and shards
+                # stay full-state (frontier is the small active set, shards a
+                # fixed count of fixed-size filters). Wave 0 lands on the
+                # compaction branch, so a delta chain always has a base.
+                state = {"frontier": frontier, "seen": seen if compact else new_seen}
+                if shards is not None:
+                    state["shards"] = shards
+                catalog.commit_wave(
+                    wave, state,
+                    {"fetch_log": log_delta, "findings": findings_delta},
+                    metrics=wave_metrics,
+                    config={"budget_per_host": cfg.budget_per_host,
+                            "max_depth": cfg.max_depth, "seeds": seed_canon,
+                            "n_shards": cfg.n_shards,
+                            "filter_kind": cfg.filter_kind},
+                    state_kinds={"seen": "full" if compact else "delta"},
+                )
+
+            elected.unpersist()
+            remainder.unpersist()
+            parsed.unpersist()
+            gated.unpersist()
+            if fused_handle is not None:
+                fused_handle.unpersist()
+            if checker_handle is not None:
+                checker_handle.unpersist()
+            if cfg.verbose:
+                print(f"[crawl] wave={wave} next_frontier={n_frontier} "
+                      f"wall={time.time()-t_wave:.2f}s "
+                      f"(chain={t_chain:.1f} state={t_state:.1f} "
+                      f"count={t_count:.1f})", flush=True)
+            force_seen_full = False  # migration snapshot committed (first wave)
+            end_wave = wave + 1
+            wave += 1
+    finally:
+        # the wave scope is session-wide state — always restore it
+        spark.conf.set("spark.sql.shuffle.partitions", str(_sess_parts))
 
     findings.extend(pending_findings)  # loop never ran (e.g. all seeds blocked)
 

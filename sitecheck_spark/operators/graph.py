@@ -34,48 +34,21 @@ from pyspark.sql import functions as F
 
 R0 = 10**12  # fixed-point unit: rank 1.0 == 10^12
 
-# Per-round shuffle sizing for the iterative operators: label/rank state is
-# ~24 B per node, so the session's shuffle.partitions (sized for the big
-# corpus-scale shuffles) over-partitions these rounds by orders of magnitude
-# — at 5*10^4 nodes each of the ~13 stages per materialization job degrades
-# into 64 near-empty tasks whose scheduling barriers dominate wall time
-# (measured 9.2 s -> 2.3 s at sf1.0 for connected_components). Derive the
-# round partition count from the graph size instead: one partition per
-# _ROUND_ROWS_PER_PARTITION nodes (≈ join CPU of ~0.25 s/task), floored at 8
-# so small graphs keep some parallelism and CAPPED at the session setting so
-# a 10^10-node graph still uses the full cluster-sized partitioning.
+# Per-round shuffle sizing: label/rank state is ~24 B per node, so the
+# session's corpus-scale shuffle.partitions over-partitions these rounds by
+# orders of magnitude — at 5*10^4 nodes each of the ~13 stages per
+# materialization job degrades into 64 near-empty tasks whose scheduling
+# barriers dominate wall time (measured 9.2 s -> 2.3 s at sf1.0 for
+# connected_components). One partition per 250k nodes (≈ join CPU of
+# ~0.25 s/task), floor 8, capped at the session value — see functions/
+# tuning.py for the shared mechanism.
 _ROUND_ROWS_PER_PARTITION = 250_000
 
 
-def _round_partitions(spark, n_nodes: int) -> int:
-    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return min(conf, max(-(-n_nodes // _ROUND_ROWS_PER_PARTITION), min(8, conf)))
+def _round_conf(spark, n_nodes: int | None):
+    from sitecheck_spark.functions.tuning import scoped_shuffle_partitions
 
-
-class _round_conf:
-    """Temporarily scope spark.sql.shuffle.partitions to the derived round
-    size (no-op when n_nodes is unknown or the derived value is the session
-    value). Physical-plan only — results are partitioning-independent."""
-
-    def __init__(self, spark, n_nodes: int | None):
-        self.spark = spark
-        self.n = n_nodes
-
-    def __enter__(self):
-        self.prev = None
-        if self.n is None:
-            return self
-        parts = _round_partitions(self.spark, self.n)
-        prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-        if parts != int(prev):
-            self.prev = prev
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        return self
-
-    def __exit__(self, *exc):
-        if self.prev is not None:
-            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
-        return False
+    return scoped_shuffle_partitions(spark, n_nodes, _ROUND_ROWS_PER_PARTITION)
 
 
 def pagerank(
