@@ -197,8 +197,23 @@ def check_metadata(parsed: DataFrame) -> DataFrame:
 SPELL_TOKEN_MODULE = "_spell_token"  # in-band token rows, never a finding
 
 
+def _spell_context_col(lt, word):
+    """JVM twin of spelling_context() as a column expression over a
+    lowercased-text column and a token column: substring around the first
+    locate() hit, window clipped at the string start — byte-identical to
+    check_spelling's join-side detail (locate >= 1 always holds because the
+    token was extracted from this very text)."""
+    pos = F.call_function("locate", word, lt)
+    return F.call_function(
+        "substring", lt,
+        F.greatest(F.lit(1), pos - F.lit(SPELL_CONTEXT)),
+        F.length(word) + F.lit(2 * SPELL_CONTEXT),
+    )
+
+
 def _checker_structs(emit_tokens: bool = False,
-                     known_words: list[str] | None = None):
+                     known_words: list[str] | None = None,
+                     inline_context: bool = False):
     """The C2+C3+C5 per-row findings as ONE array-of-struct(module, detail)
     column expression (+ the distinct spelling-candidate tokens when
     emit_tokens). Shared by findings_pass and the crawl's wave-level fused
@@ -212,10 +227,25 @@ def _checker_structs(emit_tokens: bool = False,
     rows — at the bench crawl that is ~2 rows/page instead of ~300, i.e.
     the fused findings cache and the anti-join's input shrink ~100x. Same
     set by construction: array_except(filter(tokens, len>=3), dict) ==
-    distinct tokens len>=3 minus dict (pytest-pinned vs check_spelling)."""
+    distinct tokens len>=3 minus dict (pytest-pinned vs check_spelling).
+
+    inline_context (requires known_words): emit finished module='spelling'
+    findings with the 'word: context' detail computed IN-ROW
+    (_spell_context_col) instead of in-band token rows. The unknown tokens
+    and their source text live in the same row, so re-attaching text via a
+    (url, wave, verb, post_data)-keyed join — a full-text shuffle plus a
+    second scan of the parsed cache per wave — was pure plumbing (guide
+    §2.4: remove shuffles outright). Byte-identical details: same locate/
+    substring rule either way (pytest-pinned vs check_spelling)."""
     regex_arr = F.transform(
+        # cheap contains() pre-gate: every EMAIL_SQL match contains '@', so
+        # the expensive regex only runs on rows that can match at all
+        # (guide §1.2 "per-task work"); null text falls through to [].
         F.coalesce(
-            F.regexp_extract_all("extracted_text", F.lit(EMAIL_SQL), F.lit(0)),
+            F.when(
+                F.contains("extracted_text", F.lit("@")),
+                F.regexp_extract_all("extracted_text", F.lit(EMAIL_SQL), F.lit(0)),
+            ),
             F.array(),
         ),
         lambda m: F.struct(F.lit("regex").alias("module"), m.alias("detail")),
@@ -256,12 +286,27 @@ def _checker_structs(emit_tokens: bool = False,
             candidates = F.array_except(
                 candidates, F.array(*[F.lit(w) for w in known_words])
             )
-        token_arr = F.transform(
-            candidates,
-            lambda t: F.struct(
-                F.lit(SPELL_TOKEN_MODULE).alias("module"), t.alias("detail")
-            ),
-        )
+        if inline_context and known_words is not None:
+            # after the dictionary subtraction `candidates` holds ~a few
+            # unknown tokens per page, so the per-element lower()+locate()
+            # below runs on O(few) elements — not the inlined-regex hazard
+            # _bound_words documents (its input array is evaluated once)
+            lt = F.lower(F.col("extracted_text"))
+            token_arr = F.transform(
+                candidates,
+                lambda t: F.struct(
+                    F.lit("spelling").alias("module"),
+                    F.concat(t, F.lit(": "),
+                             _spell_context_col(lt, t)).alias("detail"),
+                ),
+            )
+        else:
+            token_arr = F.transform(
+                candidates,
+                lambda t: F.struct(
+                    F.lit(SPELL_TOKEN_MODULE).alias("module"), t.alias("detail")
+                ),
+            )
         arr = F.concat(arr, token_arr)
     return arr
 
@@ -327,7 +372,15 @@ def wave_findings_pass(
     of the r7 profile's ckpt_findings stage group, 240 s CPU/run at the
     120k-page bench); now ~2 rows/page survive and no anti-join runs.
     Collecting the dictionary is the same smallness assumption its
-    broadcast already made."""
+    broadcast already made.
+
+    r7: the spelling CONTEXT is also computed in-row (_checker_structs
+    inline_context): the unknown token and its source text share a row, so
+    the former 'word: context' re-attach — a full-text shuffle join plus a
+    SECOND scan of the parsed cache per wave, plus a persisted in-band
+    token table — was pure plumbing. The whole wave findings job is now
+    ONE scan of the parsed cache with zero exchanges before the
+    checkpoint, and the returned handle is always None."""
     emit_tokens = checkers and dictionary is not None
     dict_words: list[str] | None = None
     if emit_tokens:
@@ -361,7 +414,8 @@ def wave_findings_pass(
         # parse fields
         chk = F.transform(
             F.filter(
-                _checker_structs(emit_tokens, known_words=dict_words),
+                _checker_structs(emit_tokens, known_words=dict_words,
+                                 inline_context=True),
                 lambda _s: F.col("status") == 200,
             ),
             lambda s: F.struct(s["module"].alias("module"),
@@ -369,43 +423,15 @@ def wave_findings_pass(
                                F.lit("").alias("referrer")),
         )
         arr = F.concat(arr, chk)
-    req = ["url", "wave"] + (
-        [c for c in ("verb", "post_data") if c in parsed.columns]
-        if emit_tokens else []
-    )
     fused = (
-        parsed.select(*req, F.explode(arr).alias("f"))
+        parsed.select("url", "wave", F.explode(arr).alias("f"))
         .select(
-            F.col("f.module").alias("module"), *req,
+            F.col("f.module").alias("module"), "url", "wave",
             F.col("f.detail").alias("detail"),
             F.col("f.referrer").alias("referrer"),
         )
     )
-    if not emit_tokens:
-        return fused.select("module", "url", "wave", "detail", "referrer"), None
-    fused = fused.persist()
-    base = fused.filter(F.col("module") != SPELL_TOKEN_MODULE).select(
-        "module", "url", "wave", "detail", "referrer"
-    )
-    join_keys = [c for c in req]
-    # token rows are already dictionary-subtracted (array_except above) —
-    # they ARE the unknown words, no anti-join needed
-    unknown = fused.filter(F.col("module") == SPELL_TOKEN_MODULE).select(
-        *join_keys, F.col("detail").alias("word")
-    )
-    text = parsed.select(*join_keys, F.lower("extracted_text").alias("_lt"))
-    pos = F.expr("locate(word, _lt)")
-    ctx = F.substring(
-        F.col("_lt"),
-        F.greatest(F.lit(1), pos - F.lit(SPELL_CONTEXT)),
-        F.length("word") + F.lit(2 * SPELL_CONTEXT),
-    )
-    spelling = unknown.join(text, join_keys).select(
-        F.lit("spelling").alias("module"), "url", "wave",
-        F.concat(F.col("word"), F.lit(": "), ctx).alias("detail"),
-        F.lit("").alias("referrer"),
-    )
-    return base.unionByName(spelling), fused
+    return fused, None
 
 
 def findings_with_spelling(

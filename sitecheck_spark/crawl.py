@@ -461,7 +461,11 @@ def crawl(
     budgets = robots.mapInPandas(
         _budgets_fn(cfg.budget_per_host), _BUDGET_SCHEMA
     ).persist()
-    rules = robots.mapInPandas(_compile_rules_batches, _RULES_SCHEMA).persist()
+    # persisted in ARRAY form (one row per netloc): every wave's gate join
+    # is fan-out-free and needs no re-aggregation (_robots_gate)
+    rules = _rules_array(
+        robots.mapInPandas(_compile_rules_batches, _RULES_SCHEMA)
+    ).persist()
 
     comp_map = None
     if host_components is not None:
@@ -483,9 +487,14 @@ def crawl(
             per_host.join(grp_budget, "_comp")
             .select(
                 "netloc",
-                # ':' cannot appear in a parsed HOST, so the prefix can
-                # never collide with a real netloc group key
-                F.concat(F.lit("component:"), "_comp").alias("_grp"),
+                # '\n' can never appear in a netloc (host[:port] — urlsplit
+                # rejects control characters), so the prefix cannot collide
+                # with a real netloc group key. NOTE: ':' was the old
+                # separator and CAN occur in a netloc (non-default port,
+                # functions/urls.py keeps it): a host literally named
+                # 'component' with port N would have collided with the
+                # component-N pool and silently shared its election.
+                F.concat(F.lit("component\n"), "_comp").alias("_grp"),
                 "_gbudget",
             )
             .persist()
@@ -738,51 +747,60 @@ def crawl(
             # Candidate edges: outlinks (depth+1, fresh redirect counter) plus
             # meta-refresh redirect targets (same depth, hop counter +1 along the
             # chain — the reference's Request carries a redirect count with a
-            # cap; over-cap chains are findings, not candidates).
-            out_cand = (
-                ok.filter(F.col("depth") + 1 <= cfg.max_depth)
-                .select(
-                    F.explode("outlinks").alias("url"),
-                    F.col("url").alias("referrer"),
-                    (F.col("depth") + 1).alias("depth"),
-                    F.lit(0).alias("redirects"),
-                    F.lit("GET").alias("verb"),
+            # cap; over-cap chains are findings, not candidates) plus POST form
+            # requests (CONTRACT v3: identity is (verb, url, post_data), so a
+            # POSTed url is crawled independently of its GET twin).
+            # All three kinds are emitted from ONE scan of the parsed cache as
+            # a concatenated per-row struct array with a single explode — the
+            # r6 shape ran three separate filter branches over the cache and
+            # unioned them, fetching the full cached batches three times per
+            # wave (the dominant input volume of the wave_probe_gate phase:
+            # 1.75 GB/run at the 120k-page bench; guide §2.4 / §5 cache notes).
+            _cand_struct_t = ("array<struct<url:string,depth:int,"
+                              "redirects:int,verb:string,post_data:string>>")
+            _empty_cand = F.array().cast(_cand_struct_t)
+            depth_ok = (F.col("depth") + 1) <= cfg.max_depth
+            out_arr = F.when(depth_ok, F.transform(
+                "outlinks",
+                lambda u: F.struct(
+                    u.alias("url"), (F.col("depth") + 1).alias("depth"),
+                    F.lit(0).alias("redirects"), F.lit("GET").alias("verb"),
                     F.lit("").alias("post_data"),
-                )
-            )
-            # method=post forms become POST requests (CONTRACT v3): identity is
-            # (verb, url, post_data), so a POSTed url is crawled independently
-            # of its GET twin
-            form_cand = (
-                ok.filter(
-                    (F.size("post_forms") > 0) & (F.col("depth") + 1 <= cfg.max_depth)
-                )
-                .select(
-                    F.col("url").alias("referrer"),
-                    (F.col("depth") + 1).alias("depth"),
-                    F.explode("post_forms").alias("f"),
-                )
-                .select(
-                    F.col("f.url").alias("url"), "referrer", "depth",
-                    F.lit(0).alias("redirects"),
-                    F.lit("POST").alias("verb"),
-                    F.col("f.data").alias("post_data"),
-                )
-            )
-            has_redirect = ok.filter(F.col("redirect").isNotNull())
-            red_cand = (
-                has_redirect.filter(F.col("redirects") + 1 <= cfg.max_redirects)
-                .select(
-                    F.col("redirect").alias("url"),
-                    F.col("url").alias("referrer"),
-                    F.col("depth").alias("depth"),
+                ),
+            ))
+            red_arr = F.when(
+                F.col("redirect").isNotNull()
+                & (F.col("redirects") + 1 <= cfg.max_redirects),
+                F.array(F.struct(
+                    F.col("redirect").alias("url"), F.col("depth").alias("depth"),
                     (F.col("redirects") + 1).alias("redirects"),
-                    F.lit("GET").alias("verb"),
-                    F.lit("").alias("post_data"),
-                )
+                    F.lit("GET").alias("verb"), F.lit("").alias("post_data"),
+                )),
             )
+            form_arr = F.when(depth_ok, F.transform(
+                "post_forms",
+                lambda f: F.struct(
+                    f["url"].alias("url"), (F.col("depth") + 1).alias("depth"),
+                    F.lit(0).alias("redirects"), F.lit("POST").alias("verb"),
+                    f["data"].alias("post_data"),
+                ),
+            ))
             cand = (
-                out_cand.unionByName(red_cand).unionByName(form_cand)
+                ok.select(
+                    F.col("url").alias("referrer"),
+                    F.explode(F.concat(
+                        F.coalesce(out_arr, _empty_cand),
+                        F.coalesce(red_arr, _empty_cand),
+                        F.coalesce(form_arr, _empty_cand),
+                    )).alias("c"),
+                )
+                .select(
+                    F.col("c.url").alias("url"), "referrer",
+                    F.col("c.depth").alias("depth"),
+                    F.col("c.redirects").alias("redirects"),
+                    F.col("c.verb").alias("verb"),
+                    F.col("c.post_data").alias("post_data"),
+                )
                 .withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("")))
                 .filter(~F.lower("path").rlike(_EXT_PATTERN))
                 .withColumn("netloc", F.parse_url("url", F.lit("HOST")))
@@ -1062,28 +1080,53 @@ def _match_path_fn(cols: list[str]):
     return fn
 
 
-def _robots_gate(df: DataFrame, rules: DataFrame, passthrough: list[str]) -> DataFrame:
-    """R1 gate: join pre-compiled prefix rules on netloc, first matching
-    rule in file order decides; no rule -> allow. The match string is
-    robotparser's own (robots.match_path, computed in ONE vectorized pass —
-    each url is gated exactly once in its lifetime, so this is a one-shot
-    Arrow round-trip per url, not per wave); the prefix join + first-match
-    election stay pure JVM. Catalyst broadcasts `rules` when small; at web
-    scale it shuffle-joins on netloc."""
-    hit = (
-        F.col("prefix").isNotNull()
-        & ((F.col("prefix") == "") | (F.col("prefix") == "*")
-           | F.col("_path").startswith(F.col("prefix")))
+def _rules_array(rules: DataFrame) -> DataFrame:
+    """(netloc, _rules: array<struct<seq,prefix,allow>> sorted by seq) from
+    the long-form compiled rule rows. seq is unique per netloc, so
+    array_sort orders exactly by file position."""
+    return rules.groupBy("netloc").agg(
+        F.array_sort(
+            F.collect_list(F.struct("seq", "prefix", "allow"))
+        ).alias("_rules")
     )
-    first_rule = F.min(F.when(hit, F.struct(F.col("seq"), F.col("allow"))))
+
+
+def _robots_gate(df: DataFrame, rules: DataFrame, passthrough: list[str]) -> DataFrame:
+    """R1 gate: join pre-compiled per-netloc rule ARRAYS on netloc; the
+    first-match election (first matching rule in file order decides, no
+    rule -> allow) runs row-locally over the array — no post-join
+    re-aggregation. The r6 shape joined LONG-form rule rows and collapsed
+    the multiplied rows with a groupBy over every passthrough column: one
+    full exchange of the gated candidate set per wave whose only job was
+    undoing the join fan-out (guide §2.4: remove shuffles outright). The
+    match string is robotparser's own (robots.match_path, computed in ONE
+    vectorized pass — each url is gated exactly once in its lifetime, so
+    this is a one-shot Arrow round-trip per url, not per wave). Catalyst
+    broadcasts the host-table-sized rules side when small; at web scale it
+    shuffle-joins on netloc (still fan-out-free: one row per netloc).
+
+    Accepts either the long form (aggregated here) or a pre-aggregated
+    `_rules` DataFrame (the crawl loop persists the aggregate once)."""
+    if "_rules" not in rules.columns:
+        rules = _rules_array(rules)
+    first_hit = F.get(
+        F.filter(
+            F.col("_rules"),
+            lambda r: (r["prefix"] == "") | (r["prefix"] == "*")
+            | F.col("_path").startswith(r["prefix"]),
+        ),
+        0,
+    )
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.select(*passthrough).schema
     ) + ", _path string"
     return (
         df.mapInPandas(_match_path_fn(list(passthrough)), schema)
         .join(rules, "netloc", "left")
-        .groupBy(*passthrough)
-        .agg(F.coalesce(first_rule["allow"], F.lit(True)).alias("robots_allowed"))
+        .select(
+            *passthrough,
+            F.coalesce(first_hit["allow"], F.lit(True)).alias("robots_allowed"),
+        )
     )
 
 

@@ -28,17 +28,22 @@ def words_col(text: Column | str) -> Column:
 
 
 def _count_in(words: Column, wl: list[str]) -> Column:
-    """Occurrences of any wl-member in a MATERIALIZED word-array column.
+    """Occurrences of any wl-member in a MATERIALIZED word-array column,
+    in ONE traversal: aggregate with a per-element membership test (In over
+    a handful of literals) instead of one filter() pass per dictionary word
+    — higher-order functions run interpreted, so len(wl) separate array
+    traversals cost len(wl) lambda invocations per element (lang_id ran
+    13 such passes per row; see OPTIMIZATION_r07.md for the measurement).
 
     Callers must bind words_col(...) to a real column first (one
     withColumn): feeding the expression in directly inlines the
-    regexp_extract_all subtree into every filter below — one regex pass per
-    dictionary word per row (operators/dedup._bound_words has the 17x
+    regexp_extract_all subtree into the lambda below — one regex pass per
+    row per traversal (operators/dedup._bound_words has the 17x
     measurement of the same hazard)."""
-    c = F.lit(0)
-    for w in wl:
-        c = c + F.size(F.filter(words, lambda t: t == F.lit(w)))
-    return c
+    return F.aggregate(
+        words, F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(wl), 1).otherwise(0),
+    )
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -46,19 +51,31 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Ties resolve en > de > fr (strictly-greater comparisons), 'und' when all
     votes are zero — the exact same rule ships in the SQL oracle.
-    """
+
+    All three languages' votes accumulate in ONE array traversal (struct
+    accumulator), and the votes struct is materialized as a column before
+    the argmax CASE references its fields repeatedly — each reference is
+    then an attribute slice, not a re-run of the aggregate."""
     d = df.withColumn("_words", words_col(text_col))
-    w = F.col("_words")
-    en = _count_in(w, EN_STOPWORDS)
-    de = _count_in(w, DE_STOPWORDS)
-    fr = _count_in(w, FR_STOPWORDS)
+    votes = F.aggregate(
+        F.col("_words"),
+        F.struct(F.lit(0).alias("en"), F.lit(0).alias("de"),
+                 F.lit(0).alias("fr")),
+        lambda acc, t: F.struct(
+            (acc["en"] + F.when(t.isin(EN_STOPWORDS), 1).otherwise(0)).alias("en"),
+            (acc["de"] + F.when(t.isin(DE_STOPWORDS), 1).otherwise(0)).alias("de"),
+            (acc["fr"] + F.when(t.isin(FR_STOPWORDS), 1).otherwise(0)).alias("fr"),
+        ),
+    )
+    d = d.withColumn("_v", votes)
+    en, de, fr = F.col("_v.en"), F.col("_v.de"), F.col("_v.fr")
     pred = (
         F.when((en >= de) & (en >= fr) & (en > 0), "en")
         .when((de >= fr) & (de > 0), "de")
         .when(fr > 0, "fr")
         .otherwise("und")
     )
-    return d.withColumn("pred_lang", pred).drop("_words")
+    return d.withColumn("pred_lang", pred).drop("_words", "_v")
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

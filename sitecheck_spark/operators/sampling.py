@@ -25,9 +25,17 @@ MOD = 4294967296  # 2^32
 
 
 def knuth_bucket(key: Column, buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, buckets) from an integer key."""
+    """Deterministic bucket in [0, buckets) from an integer key.
+
+    The multiply runs in decimal(38,0): key * 2654435761 exceeds
+    Long.MAX for keys >= ~3.47e9 (realistic at the stated 100 TB scale) —
+    in bigint that throws under ANSI mode and silently wraps otherwise,
+    diverging from the documented mod-2^32 contract. decimal(38,0) holds
+    the full product for any bigint key, so h = (key * KNUTH) mod 2^32
+    is exact over the whole key range; for in-range keys the value is
+    bit-identical to the old bigint arithmetic (oracle-checked)."""
     return F.pmod(
-        (key.cast("bigint") * F.lit(KNUTH)) % F.lit(MOD), F.lit(buckets)
+        (key.cast("decimal(38,0)") * F.lit(KNUTH)) % F.lit(MOD), F.lit(buckets)
     )
 
 

@@ -579,7 +579,7 @@ def q_pagerank(spark, sf_dir):
             F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst")
         )
     )
-    return pagerank(nodes, edges, iterations=5)
+    return pagerank(nodes, edges, iterations=5, n_nodes=n)
 
 
 _CC_SQL = """

@@ -189,9 +189,13 @@ def verify_bucketed_table_layout(
     jpath = jvm.org.apache.hadoop.fs.Path(info["Location"])
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     by_bucket: dict[int, list[str]] = {}
+    saw_subdir = False
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if st.isDirectory() or name.startswith(("_", ".")):
+        if st.isDirectory():
+            saw_subdir = True
+            continue
+        if name.startswith(("_", ".")):
             continue
         m = re.search(r"_(\d{5})\.", name)
         if not m or int(m.group(1)) >= n_buckets:
@@ -211,7 +215,21 @@ def verify_bucketed_table_layout(
             if by_bucket[b] and len(chosen) < sample:
                 chosen.append(by_bucket[b].pop())
     if not chosen:
-        return  # empty table: nothing to verify
+        # Distinguish "truly empty table" from "no data files at the ROOT":
+        # a nested/partitioned layout (or hand-laid subdirectories) would
+        # otherwise make this guard vacuously pass without checking a single
+        # file. Spark's bucketed-table writer lays files flat at the root,
+        # so any subdirectory — or a table that has rows despite an empty
+        # root listing — means the layout is not the one this guard knows
+        # how to verify; fail closed.
+        if saw_subdir or spark.table(table).limit(1).count() > 0:
+            raise ValueError(
+                f"table {table}: no data files at the table root "
+                f"{'(subdirectories present)' if saw_subdir else '(but the table has rows)'} "
+                f"— nested layouts cannot be bucket-verified; refusing to "
+                f"trust the declared spec"
+            )
+        return  # truly empty table: nothing to verify
     bad = (
         spark.read.parquet(*chosen)
         .select(
@@ -346,7 +364,27 @@ class WaveCatalog:
         if self.remote:
             fs, hpath = self._fs(self._manifest_path())
             if not fs.exists(hpath):
-                return None
+                # The remote delete+rename fallback in commit_wave has a
+                # crash window between the delete and the rename where no
+                # manifest exists — but the fully-written, hsync'd
+                # .manifest.tmp does. Recover from it rather than silently
+                # discarding every committed wave (a clean restart is
+                # correct but defeats the checkpoint store's purpose in
+                # exactly the crash it exists to survive). A torn tmp from
+                # a mid-write crash fails json parsing and is ignored.
+                _, tpath = self._fs(self.base + "/.manifest.tmp")
+                if not fs.exists(tpath):
+                    return None
+                stream = fs.open(tpath)
+                try:
+                    body = self.spark._jvm.org.apache.commons.io.IOUtils \
+                        .toString(stream, "UTF-8")
+                finally:
+                    stream.close()
+                try:
+                    return json.loads(body)
+                except ValueError:
+                    return None
             stream = fs.open(hpath)
             try:
                 body = self.spark._jvm.org.apache.commons.io.IOUtils.toString(

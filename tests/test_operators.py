@@ -749,3 +749,19 @@ def test_pack_sequences_invariants(spark):
         for r in parts:
             assert r["bin_tok_start"] == pos
             pos += r["doc_tok_end"] - r["doc_tok_start"]
+
+
+def test_knuth_bucket_honors_mod_2_32_for_huge_keys(spark):
+    """keys >= ~3.47e9 overflow bigint in key*2654435761; the decimal(38,0)
+    arithmetic must keep the documented (key * K) mod 2^32 contract over
+    the whole bigint key range, and stay bit-identical to the old bigint
+    path for in-range keys."""
+    from pyspark.sql import functions as F
+    from sitecheck_spark.operators.sampling import KNUTH, MOD, knuth_bucket
+
+    keys = [0, 1, 12345, 3_469_000_000, 2**40 + 7, 2**62 + 123]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r["k"]: int(r["b"]) for r in
+           df.select("k", knuth_bucket(F.col("k")).alias("b")).collect()}
+    for k in keys:
+        assert got[k] == (k * KNUTH) % MOD % 100, k

@@ -417,3 +417,32 @@ def test_register_bucketed_table_file_layout_guard(spark):
     with pytest.raises(ValueError, match="bucket ids"):
         register_pages_bucketed_table(spark, loc, n_buckets=16,
                                       table="pages_bt_files_wrongn")
+
+
+def test_bucket_layout_guard_rejects_nested_layout(spark):
+    """A table root whose data files sit in SUBDIRECTORIES (partitioned or
+    hand-laid layout) must fail the layout guard loudly instead of
+    vacuously passing with zero files checked (the old non-recursive sweep
+    returned as 'empty table')."""
+    import os
+    import shutil
+    import tempfile as _tf
+
+    from sitecheck_spark.sources.catalog import (
+        register_pages_bucketed_table,
+        write_pages_bucketed_table,
+    )
+
+    src = spark.createDataFrame(make_pages_pdf(30), PAGES_SCHEMA)
+    flat = _tf.mkdtemp() + "/pages_bt_flat"
+    write_pages_bucketed_table(src, n_buckets=8, table="pages_bt_flat",
+                               path=flat)
+    nested = _tf.mkdtemp() + "/pages_bt_nested"
+    os.makedirs(os.path.join(nested, "sub"))
+    for name in os.listdir(flat):
+        if not name.startswith(("_", ".")):
+            shutil.copy(os.path.join(flat, name),
+                        os.path.join(nested, "sub", name))
+    with pytest.raises(ValueError, match="no data files at the table root"):
+        register_pages_bucketed_table(spark, nested, n_buckets=8,
+                                      table="pages_bt_nested")

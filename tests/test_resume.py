@@ -338,3 +338,33 @@ def test_resume_twice_after_pre_v3_migration(spark, pages, tmp_path):
     }
     assert set(fetched) <= seen_ids
     resumed.release()
+
+
+def test_remote_manifest_recovers_from_tmp_after_crash_window(spark, pages,
+                                                              tmp_path):
+    """The remote delete+rename fallback has a window where manifest.json
+    is deleted but .manifest.tmp (fully written + synced) still holds the
+    committed state. read_manifest must recover from the tmp instead of
+    reporting a fresh store — otherwise a crash in exactly that window
+    silently discards every committed wave."""
+    import json
+    import shutil
+
+    seeds = make_seeds_pdf().url.tolist()
+    ckpt_dir = tmp_path / "ckpt_crashwin"
+    ckpt = "file://" + str(ckpt_dir)
+    partial = crawl(spark, pages, seeds, _cfg(max_waves=2, checkpoint_dir=ckpt))
+    partial.release()
+    cat = WaveCatalog(ckpt, spark)
+    assert cat.last_committed_wave() == 1
+
+    # emulate the crash window: manifest deleted, tmp (the about-to-be
+    # manifest) present and complete
+    manifest = ckpt_dir / "manifest.json"
+    shutil.copy(manifest, ckpt_dir / ".manifest.tmp")
+    manifest.unlink()
+    assert WaveCatalog(ckpt, spark).last_committed_wave() == 1
+
+    # a TORN tmp (mid-write crash) must not be trusted
+    (ckpt_dir / ".manifest.tmp").write_text('{"committed_wave": 1, "wav')
+    assert WaveCatalog(ckpt, spark).read_manifest() is None
