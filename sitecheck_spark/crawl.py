@@ -280,7 +280,7 @@ _FUSED_SCHEMA = (
     "kind int, url string, netloc string, depth int, priority double, "
     "referrer string, redirects int, verb string, post_data string, "
     "url_hash long, shard int, "
-    "maybe_seen boolean, bits binary, n_items long"
+    "maybe_seen boolean, bits binary, n_items long, _path string"
 )
 
 
@@ -319,6 +319,11 @@ def _make_probe_merge_fn(cfg: "CrawlConfig"):
             n_items += int(len(fresh))
             out["bits"] = None
             out["n_items"] = 0
+            # robots match string computed HERE: the candidate rows already
+            # cross the Python boundary for the probe, so the downstream
+            # robots gate reuses this column instead of running its own
+            # mapInPandas pass (one fewer Arrow round trip per wave).
+            out["_path"] = [robots_mod.match_path(u) for u in out["url"]]
             parts.append(out)
         parts.append(
             pd.DataFrame(
@@ -328,10 +333,11 @@ def _make_probe_merge_fn(cfg: "CrawlConfig"):
                     "post_data": [""], "url_hash": [0],
                     "shard": [int(key[0])], "kind": [1], "maybe_seen": [False],
                     "bits": [bloom.to_bytes()], "n_items": [n_items],
+                    "_path": [""],
                 }
             )
         )
-        cols = ["kind"] + _CAND_COLS + ["maybe_seen", "bits", "n_items"]
+        cols = ["kind"] + _CAND_COLS + ["maybe_seen", "bits", "n_items", "_path"]
         return pd.concat(parts, ignore_index=True)[cols]
 
     return fn
@@ -1002,8 +1008,14 @@ def crawl(
 
 
 def _union_all(dfs: list[DataFrame], empty: DataFrame) -> DataFrame:
-    out = empty
-    for df in dfs:
+    """Union the deltas; `empty` only anchors the schema when dfs is empty.
+    (Seeding the fold with it added its defaultParallelism-many EMPTY
+    partitions to every per-wave delta, and each wave's log/findings
+    checkpoint then scheduled that many no-op tasks.)"""
+    if not dfs:
+        return empty
+    out = dfs[0]
+    for df in dfs[1:]:
         out = out.unionByName(df)
     return out
 
@@ -1106,7 +1118,10 @@ def _robots_gate(df: DataFrame, rules: DataFrame, passthrough: list[str]) -> Dat
     shuffle-joins on netloc (still fan-out-free: one row per netloc).
 
     Accepts either the long form (aggregated here) or a pre-aggregated
-    `_rules` DataFrame (the crawl loop persists the aggregate once)."""
+    `_rules` DataFrame (the crawl loop persists the aggregate once). A df
+    that ALREADY carries `_path` (the crawl's probe cogroup computes it
+    in-band, _make_probe_merge_fn) skips the mapInPandas pass entirely —
+    the gate is then join + row-local array election, no Python at all."""
     if "_rules" not in rules.columns:
         rules = _rules_array(rules)
     first_hit = F.get(
@@ -1117,12 +1132,16 @@ def _robots_gate(df: DataFrame, rules: DataFrame, passthrough: list[str]) -> Dat
         ),
         0,
     )
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.select(*passthrough).schema
-    ) + ", _path string"
+    if "_path" in df.columns:
+        with_path = df
+    else:
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.select(*passthrough).schema
+        ) + ", _path string"
+        with_path = df.mapInPandas(_match_path_fn(list(passthrough)), schema)
     return (
-        df.mapInPandas(_match_path_fn(list(passthrough)), schema)
-        .join(rules, "netloc", "left")
+        with_path.join(rules, "netloc", "left")
         .select(
             *passthrough,
             F.coalesce(first_hit["allow"], F.lit(True)).alias("robots_allowed"),
@@ -1144,7 +1163,9 @@ def _probe_and_absorb(
         .persist()
     )
     new_shards = fused.filter(F.col("kind") == 1).select("shard", "bits", "n_items")
-    probed = fused.filter(F.col("kind") == 0).select(*_CAND_COLS, "maybe_seen")
+    probed = fused.filter(F.col("kind") == 0).select(
+        *_CAND_COLS, "maybe_seen", "_path"
+    )
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(
