@@ -293,3 +293,32 @@ def test_component_budget_pools_mirror_hosts(spark):
     ]
     plain.release()
     pooled.release()
+
+
+def test_identity_election_fast_path_equals_elect(spark):
+    """The throughput-mode shortcut (skip _elect when frontier rows <=
+    min budget) relies on _elect being the identity there: every group is
+    under budget, so the whole frontier elects and the remainder is empty.
+    Pin that equivalence directly on _elect."""
+    from pyspark.sql import functions as F
+    from sitecheck_spark.crawl import CrawlConfig, _elect
+
+    rows = [
+        (f"https://h{i % 3}.example.org/p/{i}.html", f"h{i % 3}.example.org",
+         1, 0.0, "", 0, "GET", "")
+        for i in range(12)
+    ]
+    frontier = spark.createDataFrame(
+        rows, "url string, netloc string, depth int, priority double, "
+              "referrer string, redirects int, verb string, post_data string")
+    budgets = spark.createDataFrame(
+        [("h0.example.org", 50), ("h1.example.org", 99)], "netloc string, budget int")
+    cfg = CrawlConfig(budget_per_host=60, salt_buckets=4)
+    # n_frontier = 12 <= min_budget = min(60, 50, 99) = 50 -> identity
+    elected, remainder = _elect(frontier, budgets, cfg)
+    want = {tuple(r) for r in rows}
+    got = {(r["url"], r["netloc"], r["depth"], r["priority"], r["referrer"],
+            r["redirects"], r["verb"], r["post_data"])
+           for r in elected.collect()}
+    assert got == want
+    assert remainder.count() == 0

@@ -1,7 +1,7 @@
 """Bloom + cuckoo shard tests (A1): zero false negatives, round-trips."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from sitecheck_spark.seen import BloomShard, CuckooShard
@@ -42,11 +42,19 @@ def test_bloom_serialization_and_merge():
 
 @settings(max_examples=30, deadline=None)
 @given(_hashes)
+@example(hs=[2121, 2121, 2121, 2121, 2121])  # Hypothesis-discovered
 def test_cuckoo_insert_contains(hs):
+    """Zero false negatives ALWAYS; insert may only report failure via the
+    saturation fallback. (ok.all() is not a valid property for arbitrary
+    input: >SLOTS copies of one fingerprint can never fit its bucket pair
+    — e.g. five identical hashes whose alt bucket equals the primary —
+    and the designed behavior is saturation, after which contains() is
+    all-True so the seen-filter can degrade but never forget.)"""
     c = CuckooShard.sized_for(len(hs) * 2)
     ok = c.insert(hs)
-    assert ok.all()
     assert c.contains(hs).all()
+    if not ok.all():
+        assert c.saturated
 
 
 def test_cuckoo_delete_roundtrip():
