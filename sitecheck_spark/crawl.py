@@ -467,16 +467,6 @@ def crawl(
     budgets = robots.mapInPandas(
         _budgets_fn(cfg.budget_per_host), _BUDGET_SCHEMA
     ).persist()
-    # Smallest budget any election group can have (hosts absent from the
-    # robots table budget at cfg.budget_per_host; pooled component groups
-    # take the MIN of their members, so this bounds them too). Whenever a
-    # wave's frontier row count is <= this bound, NO group can be over
-    # budget and the election is provably the identity — the wave skips
-    # _elect's count-aggregate + join + two windows outright (guide §2.4).
-    # Throughput-mode crawls (budget never binds) hit this every wave.
-    _min_b = budgets.agg(F.min("budget")).collect()[0][0]
-    min_budget = min(cfg.budget_per_host,
-                     _min_b if _min_b is not None else cfg.budget_per_host)
     # persisted in ARRAY form (one row per netloc): every wave's gate join
     # is fan-out-free and needs no re-aggregation (_robots_gate)
     rules = _rules_array(
@@ -658,15 +648,19 @@ def crawl(
             # frontier) which would otherwise each recompute the window chain —
             # the profiler showed half the wave's CPU inside broadcast-exchange
             # recomputations before this.
-            if n_frontier <= min_budget:
-                # identity election (see min_budget above): every group is
-                # under budget, so _elect would elect the whole frontier
-                # wholesale anyway. limit(0) folds to an empty local
-                # relation — no empty-partition tasks in the remainder
-                # union downstream.
-                elected, remainder = frontier, frontier.limit(0)
-            else:
-                elected, remainder = _elect(frontier, budgets, cfg, comp_map)
+            # NOTE (r7): an "identity election" fast path was tried here —
+            # skip _elect when n_frontier <= min(all budgets), since the
+            # election is then provably the identity (the equivalence is
+            # pinned by tests/test_crawl_golden.py::
+            # test_identity_election_fast_path_equals_elect). It was
+            # REVERTED: bisected as the cause of executor heap OOMs at the
+            # 1.2M-page xheavy scaling point (N-level local-cluster[2,4,8g]
+            # died at ~wave 2 with the fast path, completed in 369 s
+            # without it — see OPTIMIZATION_r07.md X-H). The ~1 s/wave of
+            # election stages it saved on the 120k bench is not worth a
+            # memory-behavior change at scale that was never fully
+            # root-caused.
+            elected, remainder = _elect(frontier, budgets, cfg, comp_map)
             elected = elected.persist()
             remainder = remainder.persist()
 
